@@ -1,0 +1,28 @@
+import os
+
+# Offline: never touch the HF hub from tests.
+os.environ.setdefault("HF_HUB_OFFLINE", "1")
+os.environ.setdefault("TRANSFORMERS_OFFLINE", "1")
+os.environ.setdefault("TOKENIZERS_PARALLELISM", "false")
+
+# JAX tests run on a virtual 8-device CPU mesh (the idiomatic fake backend for
+# multi-chip sharding tests; SURVEY §4 implication (d)).
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import pytest  # noqa: E402
+
+from fixtures import (  # noqa: E402,F401
+    CORPUS,
+    bert_like_json,
+    gpt2_like_json,
+    llama_like_json,
+    xlmr_like_json,
+)
+
+
+@pytest.fixture(scope="session")
+def corpus():
+    return CORPUS

@@ -1,0 +1,61 @@
+"""GPT-2 byte <-> unicode-char maps.
+
+Byte-level tokenizers store raw bytes as printable unicode characters so that
+vocab files remain valid text. The construction is the standard GPT-2 one:
+printable latin bytes map to themselves, everything else is shifted into the
+U+0100.. range. Re-derived from the published algorithm (the reference embeds
+the resulting table literally at zett/utils.py:351-609).
+"""
+
+from functools import lru_cache
+
+
+@lru_cache(maxsize=1)
+def _byte_to_char_map() -> dict:
+    # bytes that are kept as-is: '!'..'~', '¡'..'¬', '®'..'ÿ'
+    keep = (
+        list(range(ord("!"), ord("~") + 1))
+        + list(range(ord("¡"), ord("¬") + 1))
+        + list(range(ord("®"), ord("ÿ") + 1))
+    )
+    mapping = {}
+    n = 0
+    for b in range(256):
+        if b in keep:
+            mapping[b] = chr(b)
+        else:
+            mapping[b] = chr(256 + n)
+            n += 1
+    return mapping
+
+
+BYTES_TO_CHARS: dict = _byte_to_char_map()
+CHARS_TO_BYTES: dict = {c: b for b, c in BYTES_TO_CHARS.items()}
+
+# The 256-char byte alphabet in byte order.
+BYTE_ALPHABET = tuple(BYTES_TO_CHARS[b] for b in range(256))
+
+
+def bytes_to_byte_chars(raw: bytes) -> str:
+    """Encode raw bytes as the printable byte-char representation."""
+    m = BYTES_TO_CHARS
+    return "".join(m[b] for b in raw)
+
+
+def text_to_byte_chars(text: str) -> str:
+    """UTF-8 encode text, then map each byte to its printable char."""
+    return bytes_to_byte_chars(text.encode("utf-8"))
+
+
+def byte_chars_to_bytes(token: str) -> bytes:
+    """Inverse of :func:`bytes_to_byte_chars`.
+
+    Raises KeyError if `token` contains characters outside the byte alphabet
+    (e.g. special tokens) — callers must handle those separately.
+    """
+    m = CHARS_TO_BYTES
+    return bytes(m[c] for c in token)
+
+
+def byte_chars_to_text(token: str, errors: str = "replace") -> str:
+    return byte_chars_to_bytes(token).decode("utf-8", errors=errors)
