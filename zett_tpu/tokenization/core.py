@@ -410,3 +410,14 @@ class Tokenizer:
 
     def copy(self) -> "Tokenizer":
         return Tokenizer.from_json(copy.deepcopy(self.to_json()))
+
+    def __len__(self) -> int:
+        return self.get_vocab_size(with_added_tokens=True)
+
+    @property
+    def all_special_tokens(self) -> List[str]:
+        return [at.content for _, at in self.added_tokens if at.special]
+
+    @property
+    def all_special_ids(self) -> List[int]:
+        return [i for i, at in self.added_tokens if at.special]

@@ -64,17 +64,24 @@ class Decoder:
 
 class ByteLevel(Decoder):
     def decode_chain(self, tokens: List[str]) -> List[str]:
-        out = []
+        # decode the CONCATENATED byte stream (multi-byte utf-8 sequences may
+        # span token boundaries); chars outside the byte alphabet (special
+        # tokens) pass through as segment separators
+        out: List[str] = []
+        pending = bytearray()
+
+        def flush():
+            if pending:
+                out.append(pending.decode("utf-8", errors="replace"))
+                pending.clear()
+
         for tok in tokens:
-            bs = bytearray()
-            ok = True
-            for c in tok:
-                b = CHARS_TO_BYTES.get(c)
-                if b is None:
-                    ok = False
-                    break
-                bs.append(b)
-            out.append(bytes(bs).decode("utf-8", errors="replace") if ok else tok)
+            if all(c in CHARS_TO_BYTES for c in tok):
+                pending.extend(CHARS_TO_BYTES[c] for c in tok)
+            else:
+                flush()
+                out.append(tok)
+        flush()
         return out
 
     def to_json(self) -> dict:
