@@ -1,0 +1,172 @@
+"""Benchmark driver: prints ONE JSON line with the headline metrics.
+
+BASELINE.json metrics: bytes/s/chip retokenization, token-id exact-match %
+vs. HF tokenizers, hypernet ms per 32k vocab. The retokenization baseline is
+the HF `tokenizers` Rust library measured on the same corpus and tokenizer
+(vs_baseline = ours / HF). The hypernet forward runs on the real chip.
+"""
+
+import json
+import random
+import sys
+import time
+
+
+def make_corpus(target_bytes: int = 2_000_000):
+    rng = random.Random(0)
+    words = (
+        "the of and to in is was he for it with as his on be at by this had not "
+        "are but from or have an they which one you were her all she there would "
+        "their we him been has when who will more no if out so said what up its "
+        "about into than them can only other new some could time these two may "
+        "then do first any my now such like our over man me even most made after "
+        "also did many before must through back years where much your way well "
+        "down should because each just those people Mr how too little state good "
+        "very make world still own see men work long get here between both life "
+        "being under never day same another know while last might us great old "
+        "year off come since against go came right used take three"
+    ).split()
+    extra = ["Zürich", "naïve", "café", "日本語", "привет", "🤖", "don't", "it's", "1234", "3.14"]
+    texts = []
+    total = 0
+    while total < target_bytes:
+        n = rng.randint(8, 60)
+        parts = [rng.choice(words) for _ in range(n)]
+        if rng.random() < 0.1:
+            parts.insert(rng.randrange(len(parts)), rng.choice(extra))
+        t = " ".join(parts) + "."
+        texts.append(t)
+        total += len(t.encode("utf-8"))
+    return texts
+
+
+def bench_retokenize(texts, vocab_size=32768):
+    from tokenizers import Tokenizer as HFTokenizer
+
+    from zett_tpu.data.collator import build_sampled_tokenizer
+    from zett_tpu.tokenization import Tokenizer
+    from zett_tpu.tokenization.core import AddedToken
+    from zett_tpu.tokenization.sampler import TokenizerSampler
+
+    sampler = TokenizerSampler()
+    t0 = time.time()
+    sampled = sampler.sample_tokenizer(
+        {t: 1 for t in texts[:256]}, vocab_size, 16, 4, 0.0, pop_prev=True
+    )
+    sample_time = time.time() - t0
+    pieces = [p for p, _ in sampled]
+    scores = [s for _, s in sampled]
+
+    reference = Tokenizer.from_json(
+        {
+            "version": "1.0",
+            "added_tokens": [
+                {"id": 0, "content": "<|endoftext|>", "single_word": False,
+                 "lstrip": False, "rstrip": False, "normalized": False, "special": True}
+            ],
+            "normalizer": None,
+            "pre_tokenizer": None,
+            "post_processor": None,
+            "decoder": None,
+            "model": {"type": "BPE", "vocab": {"<|endoftext|>": 0}, "merges": [],
+                      "unk_token": None, "continuing_subword_prefix": None,
+                      "end_of_word_suffix": None, "fuse_unk": False,
+                      "byte_fallback": False, "ignore_merges": False,
+                      "dropout": None},
+        }
+    )
+    ours, _ = build_sampled_tokenizer(pieces, scores, reference)
+    hf = HFTokenizer.from_str(ours.to_str())
+
+    n_bytes = sum(len(t.encode("utf-8")) for t in texts)
+
+    t0 = time.time()
+    our_encodings = ours.encode_batch(texts, add_special_tokens=False)
+    our_time = time.time() - t0
+
+    t0 = time.time()
+    hf_encodings = hf.encode_batch(texts, add_special_tokens=False)
+    hf_time = time.time() - t0
+
+    n_match = sum(
+        1 for a, b in zip(our_encodings, hf_encodings) if a.ids == b.ids
+    )
+    exact_match = n_match / len(texts)
+
+    return {
+        "bytes_per_s": n_bytes / our_time,
+        "hf_bytes_per_s": n_bytes / hf_time,
+        "exact_match": exact_match,
+        "sample_time_s": sample_time,
+        "n_bytes": n_bytes,
+        "vocab_size": len(ours),
+    }
+
+
+def bench_hypernet(vocab=32768, maxlen=16, hidden=768, layers=3):
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from zett_tpu.models import Hypernet, HypernetConfig
+
+    cfg = HypernetConfig(
+        hidden_size=hidden, intermediate_size=hidden * 4, num_hidden_layers=layers,
+        num_attention_heads=hidden // 64, max_position_embeddings=maxlen + 2,
+        vocab_size=4096, pad_token_id=0, n_embd=hidden, hn_surface_maxlen=maxlen,
+        separate_out_embeddings=True,
+        hidden_dropout_prob=0.0, attention_dropout_prob=0.0,
+    )
+    hn = Hypernet(cfg, dtype=jnp.bfloat16)
+    rng = np.random.default_rng(0)
+    batch = 8192
+    sf = rng.integers(1, 4096, size=(batch, maxlen)).astype(np.int32)
+    sf[:, 6:] = 0
+    priors = np.zeros(batch, dtype=np.float32)
+
+    cpu = jax.local_devices(backend="cpu")[0]
+    with jax.default_device(cpu):
+        params = hn.init(jax.random.PRNGKey(0), jnp.asarray(sf), jnp.asarray(priors))
+
+    fwd = jax.jit(lambda p, s, pr: hn.apply(p, s, pr)[0])
+    out = fwd(params, sf, priors)
+    out.block_until_ready()  # compile
+
+    n_batches = vocab // batch
+    t0 = time.time()
+    for _ in range(n_batches):
+        out = fwd(params, sf, priors)
+    out.block_until_ready()
+    ms_per_32k = (time.time() - t0) * 1000
+    return {"hypernet_ms_per_32k_vocab": ms_per_32k, "device": str(jax.devices()[0])}
+
+
+def main():
+    texts = make_corpus()
+    retok = bench_retokenize(texts)
+    try:
+        hyper = bench_hypernet()
+    except Exception as e:  # noqa: BLE001 - bench must still print its line
+        hyper = {"hypernet_ms_per_32k_vocab": None, "device": f"error: {e}"}
+
+    result = {
+        "metric": "bytes/s/chip retokenize (noisy-sampled 32k Unigram vocab)",
+        "value": round(retok["bytes_per_s"], 1),
+        "unit": "bytes/s",
+        "vs_baseline": round(retok["bytes_per_s"] / retok["hf_bytes_per_s"], 4),
+        "token_id_exact_match": round(retok["exact_match"], 6),
+        "hf_rust_bytes_per_s": round(retok["hf_bytes_per_s"], 1),
+        "tokenizer_sample_time_s": round(retok["sample_time_s"], 3),
+        "hypernet_ms_per_32k_vocab": (
+            round(hyper["hypernet_ms_per_32k_vocab"], 2)
+            if hyper["hypernet_ms_per_32k_vocab"] is not None
+            else None
+        ),
+        "device": hyper["device"],
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

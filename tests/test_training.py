@@ -1,0 +1,189 @@
+"""Training-engine tests: schedules, optimizer labels, end-to-end train steps
+on a tiny hypernet+backbone (CPU mesh)."""
+
+import dataclasses
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from zett_tpu.models import HypernetConfig
+from zett_tpu.models.backbones.gpt2 import GPT2Config
+from zett_tpu.training import (
+    Trainer,
+    TrainingConfig,
+    create_learning_rate_fn,
+    decay_mask_fn,
+    get_labels,
+)
+
+
+class TestSchedules:
+    def test_two_phase(self):
+        cfg = TrainingConfig(
+            steps=100, learning_rate=1e-3, warmup_steps=20, random_warmup_steps=10,
+            random_learning_rate=5e-4,
+        )
+        random_fn, pretrained_fn = create_learning_rate_fn(cfg)
+        # random params warm up first
+        assert float(random_fn(5)) > 0
+        assert float(pretrained_fn(5)) == 0.0
+        # both at full rate after warmup boundary
+        assert float(random_fn(20)) == pytest.approx(1e-3, rel=0.05)
+        assert float(pretrained_fn(20)) == pytest.approx(1e-3, rel=0.05)
+        # cosine decay afterwards
+        assert float(random_fn(99)) < 1e-3
+
+
+class TestOptimizerLabels:
+    def test_labels(self):
+        params = {
+            "hypernet": {"encoder": {"kernel": 1}, "scaler": {"w": 1}},
+            "inner": {"wte": {"embedding": 1}},
+        }
+        labels = get_labels(params, "no")
+        assert labels["hypernet"]["encoder"]["kernel"] == "train"
+        assert labels["hypernet"]["scaler"]["w"] == "freeze"
+        assert labels["inner"]["wte"]["embedding"] == "freeze"
+        labels_full = get_labels(params, "full")
+        assert labels_full["inner"]["wte"]["embedding"] == "train"
+
+    def test_decay_mask(self):
+        params = {"dense": {"kernel": 1, "bias": 1}, "ln_f": {"scale": 1}}
+        mask = decay_mask_fn(params)
+        assert mask["dense"]["kernel"] is True
+        assert mask["dense"]["bias"] is False
+        assert mask["ln_f"]["scale"] is False
+
+
+V_BATCH = 64
+
+
+@pytest.fixture(scope="module")
+def trainer(tmp_path_factory):
+    bb_cfg = GPT2Config(vocab_size=256, n_positions=32, n_embd=32, n_layer=1, n_head=2)
+    from zett_tpu.models.backbones.gpt2 import GPT2LMHeadModel
+
+    backbone = GPT2LMHeadModel(bb_cfg)
+    ids = jnp.ones((1, 4), dtype=jnp.int32)
+    bb_params = backbone.init(jax.random.PRNGKey(0), ids)["params"]
+    hn_cfg = HypernetConfig(
+        hidden_size=32, intermediate_size=64, num_hidden_layers=1,
+        num_attention_heads=2, max_position_embeddings=16, vocab_size=300,
+        pad_token_id=0, n_embd=32, hn_surface_maxlen=8,
+        embed_using_source_embeddings=True, n_extra_tokens=64,
+        hidden_dropout_prob=0.0, attention_dropout_prob=0.0,
+    )
+    out_dir = str(tmp_path_factory.mktemp("ckpt"))
+    return Trainer(
+        hn_config=hn_cfg,
+        backbone_config=bb_cfg,
+        backbone_params=bb_params,
+        model_type="gpt2",
+        train_config=TrainingConfig(
+            steps=10, learning_rate=1e-3, warmup_steps=2, logging_steps=2,
+            save_steps=0, eval_steps=0, output_dir=out_dir, identity_steps=2,
+        ),
+        vocab_batch_size=V_BATCH,
+    )
+
+
+def _batch(seed=0):
+    rng = np.random.default_rng(seed)
+    B, L, V, M = 2, 16, V_BATCH, 8
+    return {
+        "input_ids": rng.integers(0, V, size=(B, L)).astype(np.int32),
+        "attention_mask": np.ones((B, L), dtype=np.int32),
+        "labels": rng.integers(0, V, size=(B, L)).astype(np.int32),
+        "target_surface_forms": rng.integers(1, 300, size=(V, M)).astype(np.int32),
+        "target_priors": np.zeros(V, dtype=np.float32),
+        "mask": np.ones(V, dtype=bool),
+        "ids_to_embed": rng.permutation(256)[:V].astype(np.int32),
+        "special_indices": np.array([0]),
+        "special_indices_in_reference": np.array([0]),
+        "lang_index": np.array(0),
+        "byte_lengths": rng.integers(1, 8, size=(B, L)).astype(np.int32),
+    }
+
+
+class TestTrainSteps:
+    def test_train_step_decreases_loss(self, trainer):
+        batch = trainer._device_batch(_batch())
+        losses = []
+        for i in range(8):
+            trainer.state, metrics = trainer.train_step(trainer.state, batch)
+            losses.append(float(metrics["loss"]))
+        assert losses[-1] < losses[0], f"loss did not decrease: {losses}"
+
+    def test_identity_step_runs(self, trainer):
+        batch = trainer._device_batch(_batch(1))
+        trainer.state, metrics = trainer.identity_train_step(trainer.state, batch)
+        assert np.isfinite(float(metrics["identity_loss"]))
+
+    def test_eval_step(self, trainer):
+        batch = trainer._device_batch(_batch(2))
+        metrics = trainer.eval_step(trainer.state, batch)
+        assert np.isfinite(float(metrics["eval_loss"]))
+        assert np.isfinite(float(metrics["eval_bpb"]))
+
+    def test_backbone_frozen(self, trainer):
+        before = np.asarray(
+            trainer.state.params["inner"]["transformer"]["h_0"]["c_fc"]["kernel"]
+        ).copy()
+        batch = trainer._device_batch(_batch(3))
+        trainer.state, _ = trainer.train_step(trainer.state, batch)
+        after = np.asarray(
+            trainer.state.params["inner"]["transformer"]["h_0"]["c_fc"]["kernel"]
+        )
+        np.testing.assert_array_equal(before, after)
+
+    def test_checkpoint_round_trip(self, trainer, tmp_path):
+        path = str(tmp_path / "ck")
+        trainer.save_checkpoint(path)
+        assert os.path.exists(os.path.join(path, "hn_config.json"))
+        orig = np.asarray(
+            jax.tree_util.tree_leaves(trainer.state.params["hypernet"])[0]
+        ).copy()
+        # perturb then restore
+        params = dict(trainer.state.params)
+        params["hypernet"] = jax.tree_util.tree_map(
+            lambda x: x + 1.0 if jnp.issubdtype(x.dtype, jnp.floating) else x,
+            params["hypernet"],
+        )
+        trainer.state = trainer.state.replace(params=params)
+        trainer.restore_checkpoint(path)
+        restored = np.asarray(
+            jax.tree_util.tree_leaves(trainer.state.params["hypernet"])[0]
+        )
+        np.testing.assert_allclose(orig, restored)
+
+
+class TestFitLoop:
+    def test_fit_runs_with_identity_phase(self, trainer):
+        def batches():
+            i = 0
+            while True:
+                yield _batch(i)
+                i += 1
+
+        def identity_batches():
+            rng = np.random.default_rng(9)
+            while True:
+                yield {
+                    "target_surface_forms": rng.integers(1, 300, size=(V_BATCH, 8)).astype(np.int32),
+                    "target_priors": np.zeros(V_BATCH, dtype=np.float32),
+                    "ids_to_embed": rng.permutation(256)[:V_BATCH].astype(np.int32),
+                    "lang_index": np.array(0),
+                }
+
+        logs = []
+        trainer.fit(
+            batches(), identity_batches(), on_log=lambda s, m: logs.append((s, m))
+        )
+        assert logs, "no logs emitted"
+        assert any("identity_loss" in m for _, m in logs) or any(
+            "loss" in m for _, m in logs
+        )

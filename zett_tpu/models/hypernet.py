@@ -1,0 +1,523 @@
+"""The ZeTT hypernetwork, written fresh for TPU in Flax linen.
+
+A small transformer encoder runs over each target token's surface form (byte
+sequence), pools the first position, and projects to the frozen LM's
+input/output embeddings (+ optional lm-head bias). Feature parity with the
+reference Hypernet (zett/model/__init__.py:212-469) and its HyperRoberta
+backbone extensions (zett/model/hyper_roberta.py): source-embedding input
+mode with fallback table, target-prior extra token, language-id extra token,
+inter-token block attention (with optional prior bias), per-language
+bottleneck adapters, affine rescalers, single/dual heads, bias head.
+
+TPU-first: the vocab axis is the batch axis (embarrassingly parallel across
+target tokens; shard it over the mesh "data" axis), all matmuls run in the
+MXU with static shapes, and dtype is configurable (bf16 for the compute path).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..constants import EPSILON
+
+
+@dataclass
+class HypernetConfig:
+    # encoder dims
+    hidden_size: int = 768
+    intermediate_size: int = 3072
+    num_hidden_layers: int = 3
+    num_attention_heads: int = 12
+    max_position_embeddings: int = 24
+    vocab_size: int = 256  # hn tokenizer vocab (ignored when embedding from source)
+    type_vocab_size: int = 1
+    pad_token_id: int = 0
+    layer_norm_eps: float = 1e-5
+    hidden_dropout_prob: float = 0.1
+    attention_dropout_prob: float = 0.1
+    initializer_range: float = 0.02
+    # target embedding dims
+    n_embd: int = 768
+    separate_out_embeddings: bool = False
+    # ZeTT extensions
+    hn_surface_maxlen: int = 16
+    embed_target_priors: bool = False
+    add_inter_token_attention: bool = False
+    inter_token_attention_bias_by_priors: bool = False
+    inter_token_attention_bias_scaler: float = 1.0
+    n_inter_token_blocks: int = 16
+    language_adapter_bottleneck_dim: int = 0
+    embed_lang_id: bool = False
+    n_langs: int = 1
+    embed_using_source_embeddings: bool = False
+    original_vocab_size: int = 0  # source vocab size (source-embedding mode)
+    n_extra_tokens: int = 1  # fallback table size (byte tokens new to source)
+    rescale_embeddings: bool = False
+    single_head: bool = False
+    predict_bias: bool = True
+    concat_last_hidden_state: bool = False
+
+    def to_dict(self) -> Dict[str, Any]:
+        return dataclasses.asdict(self)
+
+    @classmethod
+    def from_dict(cls, d: Dict[str, Any]) -> "HypernetConfig":
+        known = {f.name for f in dataclasses.fields(cls)}
+        return cls(**{k: v for k, v in d.items() if k in known})
+
+    @property
+    def n_in_embd(self) -> int:
+        return self.n_embd * 2 if self.separate_out_embeddings else self.n_embd
+
+
+class Rescaler(nn.Module):
+    """Per-feature affine calibration (reference: zett/utils.py:144-175)."""
+
+    dim: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        w = self.param("w", jax.nn.initializers.constant(1.0), (1, self.dim), self.dtype)
+        b = self.param("b", jax.nn.initializers.constant(0.0), (1, self.dim), self.dtype)
+        return w * x + b
+
+    @staticmethod
+    def scale_to(x, target=None, target_stds=None, target_means=None):
+        if target_stds is None:
+            target_stds = target.std(axis=0)
+        if target_means is None:
+            target_means = target.mean(axis=0)
+        w = (target_stds / (x.std(axis=0) + EPSILON))[None]
+        b = (target_means - (x * w).mean(axis=0))[None]
+        return w, b
+
+
+class ProjectorBlock(nn.Module):
+    """Residual MLP block used in the in/out projection heads
+    (reference: zett/model/__init__.py:121-134)."""
+
+    dim: int
+    intermediate_dim: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        h = nn.Dense(self.intermediate_dim, dtype=self.dtype, name="dense1")(x)
+        h = nn.Dense(self.dim, dtype=self.dtype, name="dense2")(nn.gelu(h))
+        return nn.LayerNorm(name="ln")(nn.gelu(h) + x)
+
+
+def _attention(q, k, v, bias, num_heads, dtype, dropout_rate, deterministic, rng=None):
+    """Multi-head attention core; q/k/v are (B, L, H) projections."""
+    B, Lq, H = q.shape
+    Lk = k.shape[1]
+    head_dim = H // num_heads
+    q = q.reshape(B, Lq, num_heads, head_dim)
+    k = k.reshape(B, Lk, num_heads, head_dim)
+    v = v.reshape(B, Lk, num_heads, head_dim)
+    scores = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
+    scores = scores / jnp.sqrt(head_dim).astype(scores.dtype)
+    if bias is not None:
+        scores = scores + bias
+    weights = jax.nn.softmax(scores, axis=-1).astype(dtype)
+    if not deterministic and dropout_rate > 0.0 and rng is not None:
+        keep = jax.random.bernoulli(rng, 1.0 - dropout_rate, weights.shape)
+        weights = weights * keep / (1.0 - dropout_rate)
+    out = jnp.einsum("bhqk,bkhd->bqhd", weights, v)
+    return out.reshape(B, Lq, H)
+
+
+class Attention(nn.Module):
+    """Self/cross attention with optional additive bias over keys."""
+
+    config: HypernetConfig
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        hidden_states,
+        attention_mask=None,
+        key_value_states=None,
+        attention_bias=None,
+        deterministic: bool = True,
+    ):
+        cfg = self.config
+        kv = key_value_states if key_value_states is not None else hidden_states
+        q = nn.Dense(cfg.hidden_size, dtype=self.dtype, name="query")(hidden_states)
+        k = nn.Dense(cfg.hidden_size, dtype=self.dtype, name="key")(kv)
+        v = nn.Dense(cfg.hidden_size, dtype=self.dtype, name="value")(kv)
+
+        bias = None
+        if attention_mask is not None:
+            # (B, Lk) boolean -> additive (B, 1, 1, Lk)
+            bias = jnp.where(
+                attention_mask[:, None, None, :], 0.0, jnp.finfo(jnp.float32).min
+            )
+        elif attention_bias is not None:
+            bias = attention_bias[:, None, None, :]
+
+        rng = self.make_rng("dropout") if not deterministic else None
+        out = _attention(
+            q, k, v, bias, cfg.num_attention_heads, self.dtype,
+            cfg.attention_dropout_prob, deterministic, rng,
+        )
+        out = nn.Dense(cfg.hidden_size, dtype=self.dtype, name="out")(out)
+        if not deterministic and cfg.hidden_dropout_prob > 0.0:
+            out = nn.Dropout(cfg.hidden_dropout_prob)(out, deterministic=False)
+        return out
+
+
+class EncoderLayer(nn.Module):
+    config: HypernetConfig
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        hidden_states,
+        attention_mask,
+        target_priors=None,
+        inter_token_blocks=None,
+        lang_index=None,
+        deterministic: bool = True,
+    ):
+        cfg = self.config
+        attn_out = Attention(cfg, dtype=self.dtype, name="attention")(
+            hidden_states, attention_mask=attention_mask, deterministic=deterministic
+        )
+        attn_out = nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="attention_ln")(
+            attn_out + hidden_states
+        )
+
+        # Inter-token attention: tokens exchange information through a small
+        # set of latent blocks (reference: hyper_roberta.py:402-427). The
+        # vocab/batch axis becomes the sequence axis of a 1-element batch.
+        if cfg.add_inter_token_attention:
+            assert inter_token_blocks is not None
+            if cfg.inter_token_attention_bias_by_priors:
+                bias = target_priors[None] * cfg.inter_token_attention_bias_scaler
+            else:
+                bias = None
+            blocks = Attention(cfg, dtype=self.dtype, name="inter_token_down")(
+                inter_token_blocks[None],
+                key_value_states=attn_out[None, :, 0],
+                attention_bias=bias,
+                deterministic=deterministic,
+            )[0]
+            V, L, H = attn_out.shape
+            updated = Attention(cfg, dtype=self.dtype, name="inter_token_up")(
+                attn_out.reshape(1, V * L, H),
+                key_value_states=blocks[None],
+                deterministic=deterministic,
+            ).reshape(V, L, H)
+            attn_out = updated
+
+        h = nn.Dense(cfg.intermediate_size, dtype=self.dtype, name="intermediate")(attn_out)
+        h = nn.gelu(h)
+        h = nn.Dense(cfg.hidden_size, dtype=self.dtype, name="output")(h)
+        if not deterministic and cfg.hidden_dropout_prob > 0.0:
+            h = nn.Dropout(cfg.hidden_dropout_prob)(h, deterministic=False)
+        h = nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="output_ln")(h + attn_out)
+
+        # Per-language bottleneck adapters (reference: hyper_roberta.py:282-339)
+        if cfg.language_adapter_bottleneck_dim > 0:
+            d = cfg.language_adapter_bottleneck_dim
+            down_w = self.param(
+                "lang_adapter_down_weights", jax.nn.initializers.lecun_normal(),
+                (cfg.n_langs, cfg.hidden_size, d), self.dtype,
+            )
+            down_b = self.param(
+                "lang_adapter_down_bias", jax.nn.initializers.zeros, (cfg.n_langs, d)
+            )
+            up_w = self.param(
+                "lang_adapter_up_weights", jax.nn.initializers.lecun_normal(),
+                (cfg.n_langs, d, cfg.hidden_size), self.dtype,
+            )
+            up_b = self.param(
+                "lang_adapter_up_bias", jax.nn.initializers.zeros,
+                (cfg.n_langs, cfg.hidden_size),
+            )
+            la_dw = jnp.take(down_w, lang_index, axis=0)
+            la_db = jnp.take(down_b, lang_index, axis=0)
+            la_uw = jnp.take(up_w, lang_index, axis=0)
+            la_ub = jnp.take(up_b, lang_index, axis=0)
+            mid = nn.gelu(jnp.einsum("...i,io->...o", h, la_dw) + la_db)
+            adapted = jnp.einsum("...i,io->...o", mid, la_uw) + la_ub
+            h = nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="adapter_ln")(adapted + h)
+        return h
+
+
+class HypernetEncoder(nn.Module):
+    """Embeddings (+prior/lang extra tokens) and the layer stack."""
+
+    config: HypernetConfig
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        input_ids,
+        attention_mask,
+        inputs_embeds=None,
+        target_priors=None,
+        lang_index=None,
+        deterministic: bool = True,
+    ):
+        cfg = self.config
+        if inputs_embeds is None:
+            inputs_embeds = nn.Embed(
+                cfg.vocab_size, cfg.hidden_size,
+                embedding_init=jax.nn.initializers.normal(cfg.initializer_range),
+                dtype=self.dtype, name="word_embeddings",
+            )(input_ids.astype("i4"))
+        L = inputs_embeds.shape[1]
+        position_embeds = self.param(
+            "position_embeddings",
+            jax.nn.initializers.normal(cfg.initializer_range),
+            (cfg.max_position_embeddings, cfg.hidden_size), self.dtype,
+        )
+        hidden = inputs_embeds + position_embeds[None, :L]
+
+        if cfg.embed_target_priors:
+            prior_tok = nn.Dense(cfg.hidden_size, dtype=self.dtype, name="prior_projection")(
+                target_priors[..., None]
+            )
+            hidden = jnp.concatenate([hidden, prior_tok[:, None, :]], axis=1)
+            attention_mask = jnp.concatenate(
+                [attention_mask, jnp.ones((hidden.shape[0], 1), dtype=attention_mask.dtype)],
+                axis=1,
+            )
+        if cfg.embed_lang_id:
+            lang_embedding = nn.Embed(
+                cfg.n_langs, cfg.hidden_size,
+                embedding_init=jax.nn.initializers.normal(cfg.initializer_range),
+                dtype=self.dtype, name="lang_embedding",
+            )
+            lang_tok = jnp.squeeze(lang_embedding(lang_index))
+            hidden = jnp.concatenate(
+                [hidden, jnp.broadcast_to(lang_tok[None, None, :], (hidden.shape[0], 1, cfg.hidden_size))],
+                axis=1,
+            )
+            attention_mask = jnp.concatenate(
+                [attention_mask, jnp.ones((hidden.shape[0], 1), dtype=attention_mask.dtype)],
+                axis=1,
+            )
+
+        hidden = nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="embeddings_ln")(hidden)
+        if not deterministic and cfg.hidden_dropout_prob > 0.0:
+            hidden = nn.Dropout(cfg.hidden_dropout_prob)(hidden, deterministic=False)
+
+        if cfg.add_inter_token_attention:
+            inter_token_blocks = self.param(
+                "inter_token_blocks",
+                jax.nn.initializers.normal(stddev=cfg.initializer_range),
+                (cfg.n_inter_token_blocks, cfg.hidden_size), self.dtype,
+            )
+        else:
+            inter_token_blocks = None
+
+        for i in range(cfg.num_hidden_layers):
+            hidden = EncoderLayer(cfg, dtype=self.dtype, name=f"layer_{i}")(
+                hidden, attention_mask,
+                target_priors=target_priors,
+                inter_token_blocks=inter_token_blocks,
+                lang_index=lang_index,
+                deterministic=deterministic,
+            )
+        return hidden
+
+
+class Hypernet(nn.Module):
+    """target surface forms (+priors, source embeddings, lang) ->
+    (emb_in, emb_out | None, bias)."""
+
+    config: HypernetConfig
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        cfg = self.config
+        self.encoder = HypernetEncoder(cfg, dtype=self.dtype)
+        self.fallback_embeddings = nn.Embed(
+            max(cfg.n_extra_tokens, 1),
+            cfg.n_in_embd,
+            embedding_init=jax.nn.initializers.normal(cfg.initializer_range),
+            dtype=self.dtype,
+        )
+        if cfg.embed_using_source_embeddings:
+            self.input_projection = nn.Sequential(
+                [
+                    nn.Dense(cfg.hidden_size, dtype=self.dtype),
+                    ProjectorBlock(cfg.hidden_size, cfg.intermediate_size, dtype=self.dtype),
+                ]
+            )
+        head_in_dim = cfg.n_in_embd if cfg.single_head else cfg.n_embd
+        self.output_projection = nn.Sequential(
+            [
+                ProjectorBlock(cfg.hidden_size, cfg.intermediate_size, dtype=self.dtype),
+                nn.Dense(head_in_dim, dtype=self.dtype),
+            ]
+        )
+        if not cfg.single_head and cfg.separate_out_embeddings:
+            self.output_projection_out = nn.Sequential(
+                [
+                    ProjectorBlock(cfg.hidden_size, cfg.intermediate_size, dtype=self.dtype),
+                    nn.Dense(cfg.n_embd, dtype=self.dtype),
+                ]
+            )
+        if cfg.rescale_embeddings:
+            self.in_scaler = Rescaler(cfg.n_in_embd, dtype=self.dtype)
+            self.scaler = Rescaler(cfg.n_embd if not cfg.single_head else cfg.n_in_embd, dtype=self.dtype)
+            if cfg.separate_out_embeddings:
+                self.out_scaler = Rescaler(cfg.n_embd, dtype=self.dtype)
+        if cfg.predict_bias:
+            self.bias_projection = nn.Dense(1, dtype=self.dtype)
+
+    def __call__(
+        self,
+        target_surface_forms,
+        target_priors=None,
+        source_embeddings=None,
+        lang_index=None,
+        deterministic: bool = True,
+    ):
+        cfg = self.config
+        attention_mask = target_surface_forms != cfg.pad_token_id
+
+        if cfg.embed_using_source_embeddings:
+            # surface-form ids index the SOURCE vocab; new byte tokens beyond
+            # the original vocab fall back to a learned table
+            use_fallback = target_surface_forms >= cfg.original_vocab_size
+            main_ids = jnp.minimum(target_surface_forms, cfg.original_vocab_size - 1)
+            # clamp into the fallback table: out-of-range jnp.take fills NaN
+            fallback_ids = jnp.clip(
+                target_surface_forms - cfg.original_vocab_size,
+                0,
+                max(cfg.n_extra_tokens, 1) - 1,
+            )
+            source_embeds = jnp.take(source_embeddings, main_ids, axis=0)
+            if cfg.rescale_embeddings:
+                source_embeds = self.in_scaler(source_embeds)
+            inputs_embeds = jnp.where(
+                use_fallback[..., None],
+                self.fallback_embeddings(fallback_ids),
+                source_embeds,
+            )
+            inputs_embeds = self.input_projection(inputs_embeds)
+        else:
+            inputs_embeds = None
+
+        hidden_states = self.encoder(
+            target_surface_forms,
+            attention_mask,
+            inputs_embeds=inputs_embeds,
+            target_priors=target_priors,
+            lang_index=lang_index,
+            deterministic=deterministic,
+        )
+
+        if cfg.concat_last_hidden_state:
+            pooled = hidden_states.reshape(target_surface_forms.shape[0], -1)
+        else:
+            pooled = hidden_states[:, 0]
+
+        predicted = self.output_projection(pooled)
+        if cfg.single_head:
+            predicted_in = predicted[..., : cfg.n_embd]
+            predicted_out = predicted[..., cfg.n_embd :] if cfg.separate_out_embeddings else None
+        else:
+            predicted_in = predicted
+            predicted_out = (
+                self.output_projection_out(pooled) if cfg.separate_out_embeddings else None
+            )
+
+        if cfg.rescale_embeddings:
+            predicted_in = self.scaler(predicted_in)
+            if predicted_out is not None:
+                predicted_out = self.out_scaler(predicted_out)
+
+        if cfg.predict_bias:
+            predicted_bias = self.bias_projection(pooled)[..., 0]
+        else:
+            predicted_bias = jnp.zeros_like(target_surface_forms[..., 0], dtype=self.dtype)
+
+        return predicted_in, predicted_out, predicted_bias
+
+    def init_rescaler(
+        self,
+        variables,
+        target_surface_forms,
+        target_priors,
+        source_embeddings,
+        lang_index,
+        target_embeddings_in,
+        target_embeddings_out=None,
+    ):
+        """Calibrate the affine rescalers so initial predictions match the
+        scale of the real embeddings (reference: zett/model/__init__.py:348-385)."""
+        cfg = self.config
+        if not cfg.rescale_embeddings:
+            return variables
+        params = jax.tree_util.tree_map(lambda x: x, variables)  # shallow copy
+
+        win, bin_ = Rescaler.scale_to(
+            source_embeddings,
+            target_stds=jnp.full(source_embeddings.shape[1], cfg.initializer_range),
+            target_means=jnp.zeros(source_embeddings.shape[1]),
+        )
+        params["params"]["in_scaler"]["w"] = win
+        params["params"]["in_scaler"]["b"] = bin_
+
+        pred_in, pred_out, _ = self.apply(
+            params, target_surface_forms, target_priors, source_embeddings, lang_index
+        )
+        w, b = Rescaler.scale_to(pred_in, target_embeddings_in)
+        params["params"]["scaler"]["w"] = w
+        params["params"]["scaler"]["b"] = b
+        if target_embeddings_out is not None and cfg.separate_out_embeddings:
+            w_out, b_out = Rescaler.scale_to(pred_out, target_embeddings_out)
+            params["params"]["out_scaler"]["w"] = w_out
+            params["params"]["out_scaler"]["b"] = b_out
+        return params
+
+
+class PassthroughHypernet(nn.Module):
+    """n-shot baseline: plain learned embedding tables indexed by token id
+    (reference: zett/model/__init__.py:163-209)."""
+
+    config: HypernetConfig
+    vocab_size: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        target_surface_forms,
+        target_priors=None,
+        source_embeddings=None,
+        lang_index=None,
+        deterministic: bool = True,
+    ):
+        cfg = self.config
+        ids = target_surface_forms[..., 0]
+        predicted_in = nn.Embed(
+            self.vocab_size, cfg.n_embd, dtype=self.dtype, name="input_embeddings"
+        )(ids)
+        if cfg.separate_out_embeddings:
+            predicted_out = nn.Embed(
+                self.vocab_size, cfg.n_embd, dtype=self.dtype, name="output_embeddings"
+            )(ids)
+        else:
+            predicted_out = None
+        if cfg.predict_bias:
+            predicted_bias = nn.Embed(self.vocab_size, 1, dtype=self.dtype, name="bias")(ids)[..., 0]
+        else:
+            predicted_bias = jnp.zeros_like(ids, dtype=self.dtype)
+        return predicted_in, predicted_out, predicted_bias

@@ -1,0 +1,422 @@
+"""The training engine: state init, jitted train/identity/eval steps, the
+training loop with logging, eval and checkpointing.
+
+Reference: train.py main() (194-1570). TPU-native differences (SURVEY §7.1):
+2-D ("data","model") mesh with GSPMD shardings declared via NamedSharding
+out_shardings (no regex pspec walk), orbax checkpointing, per-process data
+feeding. The vocab batch (hypernet fan-out) rides the "data" axis.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import time
+from typing import Any, Callable, Dict, Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding
+from jax.sharding import PartitionSpec as P
+
+from ..constants import NEGATIVE_INF_FILL_VALUE
+from ..models import Hypernet, HypernetConfig, PassthroughHypernet
+from ..models.backbones.registry import (
+    BIAS_PATHS,
+    OUT_EMBEDDING_PATHS,
+    build_model,
+)
+from ..models.splice import extract_embeddings, splice_embeddings
+from ..parallel.sharding import (
+    BACKBONE_RULES,
+    HYPERNET_RULES,
+    SOURCE_EMBEDDINGS_SPEC,
+    pspec_tree_ranked,
+    shard_batch,
+)
+from .losses import lexical_loss, lm_loss
+from .optimizer import build_optimizer, get_labels
+from .schedules import create_learning_rate_fn
+from .state import TrainState
+
+
+class Trainer:
+    def __init__(
+        self,
+        *,
+        hn_config: HypernetConfig,
+        backbone_config,
+        backbone_params: dict,
+        model_type: str,
+        train_config,
+        vocab_batch_size: int,
+        mesh: Optional[Mesh] = None,
+        use_passthrough_hypernet: bool = False,
+        hn_pad_token_id: int = 0,
+        pretrained_hn_params: Optional[dict] = None,
+    ):
+        self.cfg = train_config
+        self.model_type = model_type
+        self.mesh = mesh
+        self.hn_config = hn_config
+        self.hn_pad_token_id = hn_pad_token_id
+        self.dtype = getattr(jnp, train_config.dtype)
+
+        # frozen backbone; apply-time module uses the per-batch vocab size
+        # (static shape; reference mutates config.vocab_size, train.py:1346)
+        self.backbone_config = backbone_config
+        self.backbone, _ = build_model(model_type, config=backbone_config, dtype=self.dtype)
+        spliced_cfg = dataclasses.replace(backbone_config, vocab_size=vocab_batch_size)
+        self.spliced_backbone, _ = build_model(model_type, config=spliced_cfg, dtype=self.dtype)
+        self.vocab_batch_size = vocab_batch_size
+
+        # pop embeddings from the backbone tree -> source embeddings
+        source, original_vocab = extract_embeddings(backbone_params, model_type)
+        self.source_embeddings = source.astype(train_config.dtype)
+        self.original_vocab_size = original_vocab
+        self.out_tied = OUT_EMBEDDING_PATHS[model_type] is None
+        self.bias_path = BIAS_PATHS[model_type]
+        self.backbone_params = backbone_params
+        if hn_config.embed_using_source_embeddings and hn_config.original_vocab_size == 0:
+            self.hn_config = hn_config = dataclasses.replace(
+                hn_config, original_vocab_size=original_vocab
+            )
+
+        if use_passthrough_hypernet:
+            self.hypernet = PassthroughHypernet(
+                hn_config, vocab_size=original_vocab, dtype=self.dtype
+            )
+        else:
+            self.hypernet = Hypernet(hn_config, dtype=self.dtype)
+
+        self.random_lr_fn, self.pretrained_lr_fn = create_learning_rate_fn(train_config)
+        self._pretrained_hn_params = pretrained_hn_params
+        self._build_state()
+        self._jit_steps()
+
+    # ------------------------------------------------------------------ state
+    def _init_state_fn(self, rng):
+        cfg = self.cfg
+        hn_cfg = self.hn_config
+        source = jnp.asarray(self.source_embeddings)
+        example_sf = jnp.ones((1, hn_cfg.hn_surface_maxlen), dtype=jnp.int32)
+        example_priors = jnp.ones(1, dtype=jnp.float32)
+
+        if isinstance(self.hypernet, PassthroughHypernet):
+            emb_in = source[:, : hn_cfg.n_embd]
+            hn_params = {"input_embeddings": {"embedding": emb_in}}
+            if not self.out_tied:
+                hn_params["output_embeddings"] = {"embedding": source[:, hn_cfg.n_embd :]}
+            if hn_cfg.predict_bias:
+                hn_params["bias"] = {
+                    "embedding": jnp.zeros((self.original_vocab_size, 1), dtype=self.dtype)
+                }
+            source_for_state = None
+        else:
+            hn_params = self.hypernet.init(
+                rng, example_sf, example_priors,
+                source[:2] if hn_cfg.embed_using_source_embeddings else None,
+                jnp.zeros((), dtype=jnp.int32),
+            )["params"]
+            source_for_state = source
+
+        if self._pretrained_hn_params is not None:
+            from flax import traverse_util
+
+            flat = traverse_util.flatten_dict(hn_params)
+            pretrained = traverse_util.flatten_dict(self._pretrained_hn_params)
+            if cfg.reinit_projectors:
+                pretrained = {
+                    k: v
+                    for k, v in pretrained.items()
+                    if k[0]
+                    not in {
+                        "fallback_embeddings", "input_projection", "output_projection",
+                        "bias_projection", "scaler", "in_scaler",
+                    }
+                }
+            flat.update(pretrained)
+            hn_params = traverse_util.unflatten_dict(flat)
+
+        backbone_params = self.backbone_params
+        if cfg.backbone_training == "no":
+            backbone_params = jax.tree_util.tree_map(
+                lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
+                backbone_params,
+            )
+        params = {"hypernet": hn_params, "inner": backbone_params}
+        if self._tx is None:
+            # built exactly once: the optimizer closure is part of the
+            # TrainState pytree metadata and must be identical between the
+            # eval_shape pass and the jitted init
+            labels = get_labels(params, cfg.backbone_training)
+            self._tx = build_optimizer(cfg, self.random_lr_fn, labels)
+        return TrainState.create(
+            apply_fn=self.hypernet.apply,
+            params=params,
+            tx=self._tx,
+            dropout_rng=jax.random.fold_in(rng, 1),
+            source_embeddings=source_for_state,
+        )
+
+    def state_shardings(self, state):
+        """NamedSharding tree for the full train state under the mesh."""
+        if self.mesh is None:
+            return None
+        rules = list(HYPERNET_RULES) + list(BACKBONE_RULES.get(self.model_type, []))
+        specs = pspec_tree_ranked(state, rules)
+        # source embeddings: vocab rows over "model"
+        specs = specs.replace(
+            source_embeddings=(
+                SOURCE_EMBEDDINGS_SPEC if state.source_embeddings is not None else None
+            )
+        )
+        return jax.tree_util.tree_map(
+            lambda s: NamedSharding(self.mesh, s if isinstance(s, P) else P()), specs
+        )
+
+    def _build_state(self):
+        self._tx = None
+        rng = jax.random.PRNGKey(self.cfg.seed + jax.process_index())
+        if self.mesh is not None:
+            abstract = jax.eval_shape(self._init_state_fn, rng)
+            shardings = self.state_shardings(abstract)
+            init = jax.jit(self._init_state_fn, out_shardings=shardings)
+            self.state = init(rng)
+        else:
+            self.state = jax.jit(self._init_state_fn)(rng)
+
+    # ------------------------------------------------------------------ steps
+    def _jit_steps(self):
+        cfg = self.cfg
+        hn_cfg = self.hn_config
+        n_embd = hn_cfg.n_embd
+        out_tied = self.out_tied
+        bias_path = self.bias_path
+        model_type = self.model_type
+        hypernet = self.hypernet
+        spliced_backbone = self.spliced_backbone
+        hn_pad = self.hn_pad_token_id
+
+        def split_source(state):
+            if state.source_embeddings is None:
+                return None, None
+            src_in = state.source_embeddings[:, :n_embd]
+            src_out = state.source_embeddings[:, n_embd:] if not out_tied else None
+            return src_in, src_out
+
+        def compute_embeddings_and_logits(state, params, batch, dropout_rng):
+            src_in, src_out = split_source(state)
+            emb_in, emb_out, biases = hypernet.apply(
+                {"params": params["hypernet"]},
+                batch["target_surface_forms"],
+                batch["target_priors"],
+                state.source_embeddings,
+                batch["lang_index"],
+                deterministic=not cfg.run_backbone_in_training_mode,
+                rngs={"dropout": dropout_rng} if cfg.run_backbone_in_training_mode else {},
+            )
+            if src_in is not None:
+                emb_in = emb_in.at[batch["special_indices"]].set(
+                    src_in[batch["special_indices_in_reference"]].astype(emb_in.dtype)
+                )
+                if emb_out is not None and src_out is not None:
+                    emb_out = emb_out.at[batch["special_indices"]].set(
+                        src_out[batch["special_indices_in_reference"]].astype(emb_out.dtype)
+                    )
+            spliced = splice_embeddings(
+                params["inner"], model_type, emb_in,
+                emb_out if not out_tied else None,
+                None,  # bias zeroed; added to logits explicitly below
+            )
+            logits = spliced_backbone.apply(
+                {"params": spliced}, batch["input_ids"], batch["attention_mask"]
+            )
+            vocab_mask = jnp.where(batch["mask"], 0.0, NEGATIVE_INF_FILL_VALUE)
+            logits = logits + vocab_mask[None, None, :]
+            if cfg.learnable_bias:
+                logits = logits + biases[None, None, :]
+            if cfg.add_target_priors_to_bias:
+                logits = logits + batch["target_priors"][None, None, :]
+            return emb_in, emb_out, logits
+
+        def train_step(state, batch):
+            dropout_rng, new_dropout_rng = jax.random.split(state.dropout_rng)
+            src_in, src_out = split_source(state)
+
+            def compute_loss(params):
+                emb_in, emb_out, logits = compute_embeddings_and_logits(
+                    state, params, batch, dropout_rng
+                )
+                loss = lm_loss(
+                    logits.astype(jnp.float32), batch["labels"],
+                    batch["attention_mask"], cfg.loss,
+                )
+                if hn_cfg.embed_using_source_embeddings and cfg.lexical_loss_weight > 0:
+                    sf = batch["target_surface_forms"]
+                    target_in = src_in[sf[:, 0]]
+                    target_out = src_out[sf[:, 0]] if src_out is not None else None
+                    overlap = (sf[:, 1:] == hn_pad).all(axis=1)
+                    lex = lexical_loss(
+                        emb_in, emb_out, target_in, target_out, overlap,
+                        cfg.lexical_loss_kind,
+                    )
+                    loss = loss + lex * cfg.lexical_loss_weight
+                    return loss, (lex, overlap.mean())
+                return loss, (0.0, 0.0)
+
+            (loss, (lex, overlap)), grads = jax.value_and_grad(
+                compute_loss, has_aux=True
+            )(state.params)
+            new_state = state.apply_gradients(grads=grads, dropout_rng=new_dropout_rng)
+            metrics = {
+                "loss": loss,
+                "lexical_loss": lex,
+                "mean_lexical_overlap": overlap,
+                "learning_rate": self.random_lr_fn(
+                    state.step // cfg.gradient_accumulation_steps
+                ),
+            }
+            return new_state, metrics
+
+        def identity_train_step(state, batch):
+            dropout_rng, new_dropout_rng = jax.random.split(state.dropout_rng)
+            src_in, src_out = split_source(state)
+
+            def compute_loss(params):
+                emb_in, emb_out, _ = hypernet.apply(
+                    {"params": params["hypernet"]},
+                    batch["target_surface_forms"],
+                    batch["target_priors"],
+                    state.source_embeddings,
+                    batch["lang_index"],
+                )
+                target_in = jnp.take(src_in, batch["ids_to_embed"], axis=0)
+                in_loss = jnp.square(emb_in - target_in).sum(-1).mean()
+                if src_out is not None and emb_out is not None:
+                    target_out = jnp.take(src_out, batch["ids_to_embed"], axis=0)
+                    out_loss = jnp.square(emb_out - target_out).sum(-1).mean()
+                    return (in_loss + out_loss) / 2.0
+                return in_loss
+
+            loss, grads = jax.value_and_grad(compute_loss)(state.params)
+            new_state = state.apply_gradients(grads=grads, dropout_rng=new_dropout_rng)
+            return new_state, {
+                "identity_loss": loss,
+                "learning_rate": self.random_lr_fn(
+                    state.step // cfg.gradient_accumulation_steps
+                ),
+            }
+
+        def eval_step(state, batch):
+            dropout_rng = state.dropout_rng
+            _, _, logits = compute_embeddings_and_logits(
+                state, state.params, batch, dropout_rng
+            )
+            logits = logits.astype(jnp.float32)
+            if cfg.loss == "clm":
+                loss, bpb = lm_loss(
+                    logits, batch["labels"], batch["attention_mask"], "clm",
+                    byte_lengths=batch["byte_lengths"], with_bpb=True,
+                )
+                return {"eval_loss": loss, "eval_bpb": bpb}
+            loss = lm_loss(logits, batch["labels"], batch["attention_mask"], "mlm")
+            label_mask = (batch["labels"] != -100) & (batch["attention_mask"] == 1)
+            acc = (
+                (logits.argmax(-1) == batch["labels"]) & label_mask
+            ).sum() / jnp.maximum(label_mask.sum(), 1)
+            return {"eval_loss": loss, "eval_accuracy": acc}
+
+        donate = (0,)
+        self.train_step = jax.jit(train_step, donate_argnums=donate)
+        self.identity_train_step = jax.jit(identity_train_step, donate_argnums=donate)
+        self.eval_step = jax.jit(eval_step)
+
+    # ------------------------------------------------------------------- loop
+    def _device_batch(self, batch: Dict[str, Any]) -> Dict[str, Any]:
+        arrays = {
+            k: v
+            for k, v in batch.items()
+            if hasattr(v, "shape") or isinstance(v, (int, float))
+        }
+        arrays.pop("metrics", None)
+        if self.mesh is not None:
+            return shard_batch(
+                {k: np.asarray(v) for k, v in arrays.items()}, self.mesh
+            )
+        return {k: jnp.asarray(np.asarray(v)) for k, v in arrays.items()}
+
+    def fit(
+        self,
+        batch_iterator: Iterator[Dict[str, Any]],
+        identity_iterator: Optional[Iterator[Dict[str, Any]]] = None,
+        eval_fn: Optional[Callable[["Trainer"], Dict[str, float]]] = None,
+        on_log: Optional[Callable[[int, Dict[str, float]], None]] = None,
+    ):
+        cfg = self.cfg
+        history = []
+        running: Dict[str, float] = {}
+        t0 = time.time()
+        total_micro_steps = cfg.steps * cfg.gradient_accumulation_steps
+        for micro_step in range(total_micro_steps):
+            step = micro_step // cfg.gradient_accumulation_steps
+            if step < cfg.identity_steps and identity_iterator is not None:
+                batch = next(identity_iterator)
+                self.state, metrics = self.identity_train_step(
+                    self.state, self._device_batch(batch)
+                )
+            else:
+                batch = next(batch_iterator)
+                self.state, metrics = self.train_step(self.state, self._device_batch(batch))
+            for k, v in metrics.items():
+                running[k] = running.get(k, 0.0) + float(v)
+
+            is_boundary = (micro_step + 1) % cfg.gradient_accumulation_steps == 0
+            if is_boundary and (step + 1) % cfg.logging_steps == 0:
+                n = cfg.logging_steps * cfg.gradient_accumulation_steps
+                logged = {k: v / n for k, v in running.items()}
+                logged["time"] = time.time() - t0
+                logged["step"] = step + 1
+                history.append(logged)
+                if on_log is not None:
+                    on_log(step + 1, logged)
+                running = {}
+            if is_boundary and cfg.save_steps and (step + 1) % cfg.save_steps == 0:
+                self.save_checkpoint(os.path.join(cfg.output_dir, f"step_{step + 1}"))
+            if (
+                is_boundary
+                and eval_fn is not None
+                and cfg.eval_steps
+                and (step + 1) % cfg.eval_steps == 0
+            ):
+                history.append({"step": step + 1, **eval_fn(self)})
+        return history
+
+    # ------------------------------------------------------------ checkpoints
+    def save_checkpoint(self, path: str):
+        """Sharding-aware checkpoint via orbax (SURVEY §5.4 TPU-native
+        equivalent — no host-local gather / combine step needed)."""
+        import orbax.checkpoint as ocp
+
+        os.makedirs(path, exist_ok=True)
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(
+            os.path.abspath(os.path.join(path, "state")),
+            jax.tree_util.tree_map(np.asarray, self.state.params["hypernet"]),
+            force=True,
+        )
+        ckptr.wait_until_finished()
+        with open(os.path.join(path, "hn_config.json"), "w") as f:
+            json.dump(self.hn_config.to_dict(), f, indent=2)
+
+    def restore_checkpoint(self, path: str):
+        import orbax.checkpoint as ocp
+
+        ckptr = ocp.StandardCheckpointer()
+        target = jax.tree_util.tree_map(np.asarray, self.state.params["hypernet"])
+        restored = ckptr.restore(os.path.abspath(os.path.join(path, "state")), target)
+        params = dict(self.state.params)
+        params["hypernet"] = jax.tree_util.tree_map(jnp.asarray, restored)
+        self.state = self.state.replace(params=params)

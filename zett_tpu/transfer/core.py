@@ -1,0 +1,214 @@
+"""Zero-shot tokenizer transfer: run the hypernet over a target tokenizer's
+whole vocabulary and produce ready-to-use embedding matrices for the base LM.
+
+Reference: scripts/transfer.py:30-328 — byte-level conversion of the target
+tokenizer matched to the source's special tokens, surface-form matrix, priors
+from Unigram scores, sharded batched inference (optionally overlapping sampled
+batches averaged per token, zett/utils.py:612-648 get_sample_indices),
+special-token embedding splice-back from the source model.
+
+TPU-native: the vocab axis is sharded over the mesh "data" axis via
+NamedSharding; each batch is one jit call with static shapes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding
+from jax.sharding import PartitionSpec as P
+
+from ..constants import NEGATIVE_INF_FILL_VALUE
+from ..models import Hypernet, HypernetConfig
+from ..tokenization import Tokenizer
+from ..tokenization.convert import convert_to_byte_level
+from ..tokenization.models import Unigram
+from ..tokenization.surface_forms import get_surface_form_matrix
+
+
+def get_sample_indices(n, p, batch_size, min_k, n_samples, rng=None):
+    """Overlapping random batches giving each token >= min_k predictions
+    (reference: zett/utils.py:612-648). p are log-priors; masked entries at
+    NEGATIVE_INF_FILL_VALUE get probability 0 for the importance sampling."""
+    rng = rng or np.random.default_rng()
+    p = np.where(p > NEGATIVE_INF_FILL_VALUE, p, -np.inf)
+    p = np.exp(p)
+
+    indices = np.empty((n_samples, batch_size), dtype=np.int32)
+    random_offset = 0
+    random_indices = np.arange(n)
+    rng.shuffle(random_indices)
+
+    n_samples_per_k = n_samples // min_k
+    assert n_samples_per_k * min_k == n_samples
+
+    for i in range(n_samples):
+        if (i + 1) % n_samples_per_k == 0:
+            num_random = len(random_indices) - random_offset
+        else:
+            num_random = len(random_indices) // n_samples_per_k
+        indices[i, :num_random] = random_indices[random_offset : random_offset + num_random]
+        if (i + 1) % n_samples_per_k == 0:
+            random_offset = 0
+            rng.shuffle(random_indices)
+        else:
+            random_offset += num_random
+        sample_p = p.copy()
+        sample_p[indices[i, :num_random]] = 0
+        sample_p /= sample_p.sum()
+        indices[i, num_random:] = rng.choice(
+            n, size=batch_size - num_random, p=sample_p, replace=False
+        )
+    return indices
+
+
+def batched_inference(
+    predict_fn,
+    surface_forms: np.ndarray,
+    priors: np.ndarray,
+    source_embeddings,
+    lang_index,
+    batch_size: int = 16384,
+    do_batch_sampling: bool = False,
+    min_k: int = 4,
+    mesh: Optional[Mesh] = None,
+    rng=None,
+):
+    """Run the hypernet over the full vocab in fixed-size batches.
+
+    Returns (emb_in, emb_out|None, bias) stacked over the vocab. Without batch
+    sampling the vocab is shuffled, padded and chunked; with it, overlapping
+    random batches are drawn and per-token predictions averaged
+    (reference: scripts/transfer.py:54-124).
+    """
+    rng = rng or np.random.default_rng(1234)
+    n = len(surface_forms)
+
+    if not do_batch_sampling:
+        permutation = rng.permutation(n)
+        n_pad = (-n) % batch_size
+        padded = np.concatenate([permutation, permutation[:n_pad]])
+        sample_indices = padded.reshape(-1, batch_size)
+        weights = np.zeros(n)
+    else:
+        n_samples = int(np.ceil(n / batch_size)) * min_k
+        n_samples = (n_samples // min_k) * min_k
+        sample_indices = get_sample_indices(n, priors, batch_size, min_k, n_samples, rng)
+        weights = np.zeros(n)
+
+    emb_in_acc = None
+    emb_out_acc = None
+    bias_acc = None
+
+    for batch_idx in sample_indices:
+        sf = jnp.asarray(surface_forms[batch_idx])
+        pr = jnp.asarray(priors[batch_idx])
+        if mesh is not None:
+            sharding = NamedSharding(mesh, P("data", None))
+            sf = jax.device_put(sf, sharding)
+            pr = jax.device_put(pr, NamedSharding(mesh, P("data")))
+        e_in, e_out, b = predict_fn(sf, pr, source_embeddings, lang_index)
+        e_in = np.asarray(jax.device_get(e_in), dtype=np.float32)
+        e_out = np.asarray(jax.device_get(e_out), dtype=np.float32) if e_out is not None else None
+        b = np.asarray(jax.device_get(b), dtype=np.float32)
+
+        if emb_in_acc is None:
+            emb_in_acc = np.zeros((n, e_in.shape[1]), dtype=np.float32)
+            if e_out is not None:
+                emb_out_acc = np.zeros((n, e_out.shape[1]), dtype=np.float32)
+            bias_acc = np.zeros(n, dtype=np.float32)
+        np.add.at(emb_in_acc, batch_idx, e_in)
+        if e_out is not None:
+            np.add.at(emb_out_acc, batch_idx, e_out)
+        np.add.at(bias_acc, batch_idx, b)
+        np.add.at(weights, batch_idx, 1.0)
+
+    weights = np.maximum(weights, 1.0)
+    emb_in_acc /= weights[:, None]
+    if emb_out_acc is not None:
+        emb_out_acc /= weights[:, None]
+    bias_acc /= weights
+    return emb_in_acc, emb_out_acc, bias_acc
+
+
+def transfer(
+    *,
+    hypernet: Hypernet,
+    hn_params: dict,
+    hn_tokenizer: Tokenizer,
+    source_tokenizer: Tokenizer,
+    source_embeddings_in: np.ndarray,
+    target_tokenizer: Tokenizer,
+    source_embeddings_out: Optional[np.ndarray] = None,
+    lang_index: int = 0,
+    batch_size: int = 16384,
+    do_batch_sampling: bool = False,
+    min_k: int = 4,
+    mesh: Optional[Mesh] = None,
+    seed: int = 1234,
+) -> Tuple[np.ndarray, Optional[np.ndarray], np.ndarray, Tokenizer]:
+    """Full transfer pipeline. Returns (emb_in, emb_out|None, bias,
+    converted_target_tokenizer)."""
+    cfg = hypernet.config
+    rng = np.random.default_rng(seed)
+
+    target, _ = convert_to_byte_level(
+        target_tokenizer,
+        match_special_tokens_to=source_tokenizer,
+        make_whitespace_consistent=True,
+    )
+
+    surface_forms, n_truncated = get_surface_form_matrix(
+        target, cfg.hn_surface_maxlen, hn_tokenizer
+    )
+
+    if isinstance(target.model, Unigram):
+        scores = np.asarray(target.model.get_scores(), dtype=np.float32)
+        priors = np.full(len(target), NEGATIVE_INF_FILL_VALUE, dtype=np.float32)
+        priors[: len(scores)] = scores
+    else:
+        priors = np.zeros(len(target), dtype=np.float32)
+
+    source = source_embeddings_in
+    if source_embeddings_out is not None:
+        source = np.concatenate([source_embeddings_in, source_embeddings_out], axis=1)
+    n_pad = (-len(source)) % 128
+    if n_pad:
+        source = np.concatenate(
+            [source, np.zeros((n_pad, source.shape[1]), dtype=source.dtype)]
+        )
+    source_dev = jnp.asarray(source)
+
+    @jax.jit
+    def predict(sf, pr, src, lidx):
+        return hypernet.apply({"params": hn_params}, sf, pr, src, lidx)
+
+    emb_in, emb_out, bias = batched_inference(
+        predict,
+        surface_forms,
+        priors,
+        source_dev,
+        jnp.asarray(lang_index),
+        batch_size=batch_size,
+        do_batch_sampling=do_batch_sampling,
+        min_k=min_k,
+        mesh=mesh,
+        rng=rng,
+    )
+
+    # special tokens: copy source embeddings directly
+    # (reference: scripts/transfer.py:274-301)
+    for token in target.all_special_tokens:
+        tgt_id = target.token_to_id(token)
+        src_id = source_tokenizer.token_to_id(token)
+        if tgt_id is None or src_id is None:
+            continue
+        emb_in[tgt_id] = source_embeddings_in[src_id]
+        if emb_out is not None and source_embeddings_out is not None:
+            emb_out[tgt_id] = source_embeddings_out[src_id]
+        bias[tgt_id] = 0.0
+    return emb_in, emb_out, bias, target
