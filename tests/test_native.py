@@ -1,0 +1,116 @@
+"""Differential tests: native C++ host library vs Python reference paths."""
+
+import numpy as np
+import pytest
+
+from zett_tpu.csrc import host_lib
+from zett_tpu.data.collator import build_sampled_tokenizer
+from zett_tpu.tokenization import Tokenizer
+from zett_tpu.tokenization.fast_encode import FastUnigramEncoder, fast_encoder_or_none
+from zett_tpu.tokenization.priors import AhoCorasick
+from zett_tpu.tokenization.sampler import TokenizerSampler
+
+pytestmark = pytest.mark.skipif(host_lib is None, reason="native lib unavailable")
+
+
+@pytest.fixture(scope="module")
+def sampled_tokenizer(corpus):
+    sampler = TokenizerSampler(use_native=True)
+    sampled = sampler.sample_tokenizer(
+        {t: 1 for t in corpus if t.strip()}, 4000, 16, 1, 0.0
+    )
+    pieces = [p for p, _ in sampled]
+    scores = [s for _, s in sampled]
+    reference = Tokenizer.from_json(
+        {
+            "version": "1.0",
+            "added_tokens": [
+                {"id": 0, "content": "<s>", "single_word": False, "lstrip": False,
+                 "rstrip": False, "normalized": False, "special": True},
+                {"id": 1, "content": "</s>", "single_word": False, "lstrip": False,
+                 "rstrip": False, "normalized": False, "special": True},
+            ],
+            "normalizer": None,
+            "pre_tokenizer": None,
+            "post_processor": {
+                "type": "TemplateProcessing",
+                "single": [
+                    {"SpecialToken": {"id": "<s>", "type_id": 0}},
+                    {"Sequence": {"id": "A", "type_id": 0}},
+                    {"SpecialToken": {"id": "</s>", "type_id": 0}},
+                ],
+                "pair": [],
+                "special_tokens": {
+                    "<s>": {"id": "<s>", "ids": [0], "tokens": ["<s>"]},
+                    "</s>": {"id": "</s>", "ids": [1], "tokens": ["</s>"]},
+                },
+            },
+            "decoder": None,
+            "model": {"type": "BPE", "vocab": {"<s>": 0, "</s>": 1}, "merges": [],
+                      "unk_token": None, "continuing_subword_prefix": None,
+                      "end_of_word_suffix": None, "fuse_unk": False,
+                      "byte_fallback": False, "ignore_merges": False, "dropout": None},
+        }
+    )
+    tok, _ = build_sampled_tokenizer(pieces, scores, reference)
+    return tok
+
+
+class TestNativeUnigram:
+    def test_matches_python_model(self, sampled_tokenizer, corpus):
+        """Native Viterbi ids == the Python Unigram model's ids on the same
+        pretokens (tie-breaking and all)."""
+        enc = FastUnigramEncoder(sampled_tokenizer)
+        from tokenizers import Tokenizer as HFTokenizer
+
+        hf = HFTokenizer.from_str(sampled_tokenizer.to_str())
+        texts = [t for t in corpus if t.strip()][:120]
+        ids, mask = enc.encode_batch(texts, add_special_tokens=True)
+        for i, text in enumerate(texts):
+            ours = list(ids[i][mask[i] == 1])
+            want = sampled_tokenizer.encode(text, add_special_tokens=True).ids
+            assert ours == want, f"fast-path mismatch on {text!r}"
+            hf_ids = hf.encode(text, add_special_tokens=True).ids
+            assert ours == hf_ids, f"fast-path vs HF mismatch on {text!r}"
+
+    def test_truncation_padding(self, sampled_tokenizer, corpus):
+        enc = FastUnigramEncoder(sampled_tokenizer)
+        texts = [t for t in corpus if len(t) > 30][:10]
+        ids, mask = enc.encode_batch(texts, max_length=16, pad_id=0)
+        assert ids.shape == (10, 16)
+        assert (mask.sum(1) <= 16).all()
+
+    def test_fast_encoder_or_none_rejects_noncanonical(self, gpt2_like_json):
+        tok = Tokenizer.from_json(gpt2_like_json)
+        assert fast_encoder_or_none(tok) is None
+
+
+class TestNativeAho:
+    def test_matches_python_automaton(self, corpus):
+        patterns = {}
+        words = ["he", "she", "his", "hers", "the", "a", "ab", "тест", "日本"]
+        for i, w in enumerate(words):
+            patterns[w] = i
+        py = AhoCorasick(patterns)
+        acc_py = np.zeros(len(words), dtype=np.int64)
+        texts = [t for t in corpus if t.strip()][:100]
+        for t in texts:
+            py.count_into(t, 2, acc_py)
+        native = host_lib.NativeAhoCorasick(
+            [w.encode("utf-8") for w in words], list(range(len(words)))
+        )
+        acc_nat = native.count([t.encode("utf-8") for t in texts], [2] * len(texts))
+        # python automaton counts per CHAR position; native per BYTE position.
+        # occurrence counts are identical because patterns are contiguous
+        # byte sequences either way
+        np.testing.assert_array_equal(acc_py, acc_nat)
+
+
+class TestSamplerNative:
+    def test_native_sampler_end_to_end(self, corpus):
+        s_native = TokenizerSampler(use_native=True)
+        s_py = TokenizerSampler(use_native=False)
+        texts = {t: 1 for t in corpus[:40] if t.strip()}
+        out_native = s_native.sample_tokenizer(texts, 3000, 16, 2, 0.0)
+        out_py = s_py.sample_tokenizer(texts, 3000, 16, 2, 0.0)
+        assert dict(out_native) == dict(out_py)

@@ -116,11 +116,21 @@ class TestSampler:
         assert pieces[1][0] == "Ġworld"
 
     def test_count_substrings_scores(self):
-        counts = _count_substrings({"aa": 3}, max_length=16, stride=1)
-        # pretoken 'Ġaa': substrings starting at char boundaries
-        assert counts["a"] == 3 * 1 * 2  # 'a' appears at 2 start positions
-        assert counts["aa"] == 3 * 2
-        assert counts["Ġaa"] == 3 * 4  # Ġ is 2 utf-8 bytes
+        counts = _count_substrings({"aa": 3}, max_length=16, stride=1, use_native=False)
+        # pretoken b' aa': substrings starting at char boundaries
+        assert counts[b"a"] == 3 * 1 * 2  # 'a' appears at 2 start positions
+        assert counts[b"aa"] == 3 * 2
+        assert counts[b" aa"] == 3 * 4  # ' ' maps to Ġ = 2 utf-8 bytes
+
+    def test_native_matches_python(self):
+        texts = {
+            "hello world, this is a test": 1,
+            "Zürich café 日本語 🤖 multi-byte": 2,
+            "  spaces\tand\nnewlines  ": 1,
+        }
+        py = _count_substrings(texts, max_length=16, stride=4, use_native=False)
+        native = _count_substrings(texts, max_length=16, stride=4, use_native=True)
+        assert py == native
 
     def test_sample_contains_byte_alphabet_and_ws_runs(self):
         s = TokenizerSampler(use_native=False)

@@ -1,0 +1,219 @@
+"""ctypes bindings for the native host library (zett_host.cpp).
+
+Builds the shared object on first import (g++ -O3, cached by source mtime).
+Exposes:
+  - NativeUnigram: batched byte-level Viterbi encode/score
+  - count_substrings_native: the sampler's substring enumeration
+  - NativeAhoCorasick / substring_counts: multi-pattern counting
+All interfaces speak RAW BYTES; byte-char conversion happens at the caller.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Dict, List, Sequence, Tuple
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_DIR, "zett_host.cpp")
+_SO = os.path.join(_DIR, "libzett_host.so")
+
+
+def _build():
+    if (
+        os.path.exists(_SO)
+        and os.path.getmtime(_SO) >= os.path.getmtime(_SRC)
+    ):
+        return
+    cmd = [
+        "g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
+        "-o", _SO, _SRC,
+    ]
+    subprocess.run(cmd, check=True, capture_output=True)
+
+
+_build()
+_lib = ctypes.CDLL(_SO)
+
+_lib.uni_new.restype = ctypes.c_void_p
+_lib.uni_new.argtypes = [
+    ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+    ctypes.c_int64, ctypes.c_int32, ctypes.c_double, ctypes.c_int64,
+]
+_lib.uni_free.argtypes = [ctypes.c_void_p]
+_lib.uni_encode_batch.restype = ctypes.c_int64
+_lib.uni_encode_batch.argtypes = [
+    ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+    ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+]
+_lib.uni_score_batch.argtypes = [
+    ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+    ctypes.c_void_p,
+]
+_lib.count_substrings.restype = ctypes.c_void_p
+_lib.count_substrings.argtypes = [
+    ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+    ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int32, ctypes.c_int32,
+]
+_lib.countmap_size.restype = ctypes.c_int64
+_lib.countmap_size.argtypes = [ctypes.c_void_p]
+_lib.countmap_serialize.restype = ctypes.c_int64
+_lib.countmap_serialize.argtypes = [
+    ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+]
+_lib.countmap_free.argtypes = [ctypes.c_void_p]
+_lib.ac_new.restype = ctypes.c_void_p
+_lib.ac_new.argtypes = [
+    ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+]
+_lib.ac_free.argtypes = [ctypes.c_void_p]
+_lib.ac_count.argtypes = [
+    ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+    ctypes.c_void_p, ctypes.c_void_p,
+]
+
+
+def _ptr(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.c_void_p)
+
+
+def _concat_bytes(items: Sequence[bytes]) -> Tuple[np.ndarray, np.ndarray]:
+    offsets = np.zeros(len(items) + 1, dtype=np.int64)
+    np.cumsum([len(b) for b in items], out=offsets[1:])
+    data = np.frombuffer(b"".join(items), dtype=np.uint8).copy()
+    if len(data) == 0:
+        data = np.zeros(1, dtype=np.uint8)
+    return data, offsets
+
+
+class NativeUnigram:
+    """Byte-level Unigram Viterbi over the trie, with a memo cache."""
+
+    def __init__(
+        self,
+        pieces: Sequence[bytes],
+        scores: Sequence[float],
+        unk_id: int = -1,
+        unk_penalty: float = 10.0,
+        cache_cap: int = 1 << 20,
+    ):
+        data, offsets = _concat_bytes(pieces)
+        scores_arr = np.asarray(scores, dtype=np.float64)
+        self._data = data  # keep alive
+        self._handle = _lib.uni_new(
+            _ptr(data), _ptr(offsets), _ptr(scores_arr), len(pieces),
+            unk_id, unk_penalty, cache_cap,
+        )
+
+    def __del__(self):
+        if getattr(self, "_handle", None) and _lib is not None:
+            _lib.uni_free(self._handle)
+            self._handle = None
+
+    def encode_pretokens(self, pretokens: Sequence[bytes]) -> List[np.ndarray]:
+        """Encode each pretoken independently -> list of int32 id arrays."""
+        data, offsets = _concat_bytes(pretokens)
+        cap = max(int(offsets[-1]), 1)
+        out_ids = np.empty(cap, dtype=np.int32)
+        out_lens = np.empty(len(pretokens), dtype=np.int32)
+        total = _lib.uni_encode_batch(
+            self._handle, _ptr(data), _ptr(offsets), len(pretokens),
+            _ptr(out_ids), cap, _ptr(out_lens),
+        )
+        assert total >= 0, "output capacity exceeded"
+        splits = np.cumsum(out_lens[:-1])
+        return np.split(out_ids[:total], splits)
+
+    def encode_flat(self, pretokens: Sequence[bytes]) -> Tuple[np.ndarray, np.ndarray]:
+        """Returns (flat_ids, lens) without per-pretoken splitting."""
+        data, offsets = _concat_bytes(pretokens)
+        cap = max(int(offsets[-1]), 1)
+        out_ids = np.empty(cap, dtype=np.int32)
+        out_lens = np.empty(len(pretokens), dtype=np.int32)
+        total = _lib.uni_encode_batch(
+            self._handle, _ptr(data), _ptr(offsets), len(pretokens),
+            _ptr(out_ids), cap, _ptr(out_lens),
+        )
+        assert total >= 0, "output capacity exceeded"
+        return out_ids[:total], out_lens
+
+    def score_pretokens(self, pretokens: Sequence[bytes]) -> np.ndarray:
+        data, offsets = _concat_bytes(pretokens)
+        out = np.empty(len(pretokens), dtype=np.float64)
+        _lib.uni_score_batch(
+            self._handle, _ptr(data), _ptr(offsets), len(pretokens), _ptr(out)
+        )
+        return out
+
+
+def count_substrings_native(
+    pretokens: Sequence[bytes],
+    char_starts: Sequence[Sequence[int]],
+    weights: Sequence[int],
+    max_length: int = 16,
+    stride: int = 1,
+) -> Dict[bytes, int]:
+    """Substring enumeration with freq*byte-weight scoring (sampler core)."""
+    data, offsets = _concat_bytes(pretokens)
+    w = np.asarray(weights, dtype=np.int32)
+    cs_offsets = np.zeros(len(char_starts) + 1, dtype=np.int64)
+    np.cumsum([len(c) for c in char_starts], out=cs_offsets[1:])
+    cs_flat = (
+        np.concatenate([np.asarray(c, dtype=np.int32) for c in char_starts])
+        if len(char_starts) and cs_offsets[-1] > 0
+        else np.zeros(1, dtype=np.int32)
+    )
+    handle = _lib.count_substrings(
+        _ptr(data), _ptr(offsets), len(pretokens), _ptr(w),
+        _ptr(cs_flat), _ptr(cs_offsets), max_length, stride,
+    )
+    try:
+        n = _lib.countmap_size(handle)
+        key_bytes = _lib.countmap_serialize(handle, None, None, None)
+        keys = np.empty(max(key_bytes, 1), dtype=np.uint8)
+        key_offsets = np.empty(n + 1, dtype=np.int64)
+        values = np.empty(max(n, 1), dtype=np.uint64)
+        _lib.countmap_serialize(handle, _ptr(keys), _ptr(key_offsets), _ptr(values))
+        raw = keys.tobytes()
+        return {
+            raw[key_offsets[i]: key_offsets[i + 1]]: int(values[i])
+            for i in range(n)
+        }
+    finally:
+        _lib.countmap_free(handle)
+
+
+class NativeAhoCorasick:
+    def __init__(self, patterns: Sequence[bytes], values: Sequence[int]):
+        data, offsets = _concat_bytes(patterns)
+        vals = np.asarray(values, dtype=np.int32)
+        self._n_values = int(vals.max()) + 1 if len(vals) else 0
+        self._data = data
+        self._handle = _lib.ac_new(_ptr(data), _ptr(offsets), _ptr(vals), len(patterns))
+
+    def __del__(self):
+        if getattr(self, "_handle", None) and _lib is not None:
+            _lib.ac_free(self._handle)
+            self._handle = None
+
+    def count(
+        self, texts: Sequence[bytes], weights: Sequence[int], n_out: int = None
+    ) -> np.ndarray:
+        data, offsets = _concat_bytes(texts)
+        w = np.asarray(weights, dtype=np.int64)
+        acc = np.zeros(n_out or self._n_values, dtype=np.int64)
+        _lib.ac_count(self._handle, _ptr(data), _ptr(offsets), len(texts), _ptr(w), _ptr(acc))
+        return acc
+
+
+def substring_counts(vocab: Dict[str, int], pretoken_counts, acc: np.ndarray):
+    """Drop-in used by zett_tpu.tokenization.priors.compute_substring_prior."""
+    patterns = [k.encode("utf-8") for k in vocab.keys()]
+    values = list(vocab.values())
+    ac = NativeAhoCorasick(patterns, values)
+    texts = [t.encode("utf-8") for t in pretoken_counts.keys()]
+    weights = list(pretoken_counts.values())
+    acc += ac.count(texts, weights, n_out=len(acc))

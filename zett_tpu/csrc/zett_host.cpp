@@ -1,0 +1,390 @@
+// zett_tpu native host library.
+//
+// TPU-era replacement for the reference's Rust components (SURVEY §2.2):
+// the tokenizer-sampling substring enumerator (rust_utils/src/lib.rs:113-158),
+// the HF tokenizers Unigram Viterbi encode hot loop (zett/collator.py:166),
+// and the pyahocorasick automaton used for substring priors
+// (zett/compute_prior.py:95-106).
+//
+// Everything operates on RAW BYTES: the byte-level pipeline maps text to the
+// GPT-2 byte alphabet 1:1, so Python converts byte-char strings to bytes at
+// the boundary and this library never touches unicode.
+//
+// C ABI (ctypes); all functions are thread-compatible (no shared mutable
+// globals; handles are not thread-safe individually).
+
+#include <algorithm>
+#include <cstdint>
+#include <cstring>
+#include <limits>
+#include <string>
+#include <unordered_map>
+#include <vector>
+
+extern "C" {
+
+// --------------------------------------------------------------------------
+// Unigram model: trie + Viterbi
+// --------------------------------------------------------------------------
+
+struct TrieNode {
+  // child array index by byte, -1 = none; stored in a flat pool
+  int32_t children[256];
+  int32_t piece_id;  // -1 if not terminal
+};
+
+struct UnigramModel {
+  std::vector<TrieNode> nodes;
+  std::vector<double> scores;
+  double unk_score;
+  int32_t unk_id;
+  size_t max_piece_len;
+  // memo cache: pretoken bytes -> encoded ids
+  std::unordered_map<std::string, std::vector<int32_t>> cache;
+  size_t cache_cap;
+};
+
+static int32_t trie_add_node(UnigramModel* m) {
+  m->nodes.emplace_back();
+  TrieNode& n = m->nodes.back();
+  std::memset(n.children, -1, sizeof(n.children));
+  n.piece_id = -1;
+  return (int32_t)(m->nodes.size() - 1);
+}
+
+void* uni_new(const uint8_t* piece_data, const int64_t* piece_offsets,
+              const double* scores, int64_t n_pieces, int32_t unk_id,
+              double unk_penalty, int64_t cache_cap) {
+  auto* m = new UnigramModel();
+  m->nodes.reserve(1 << 16);
+  trie_add_node(m);
+  m->scores.assign(scores, scores + n_pieces);
+  double min_score = 0.0;
+  m->max_piece_len = 1;
+  for (int64_t i = 0; i < n_pieces; ++i) {
+    if (scores[i] < min_score) min_score = scores[i];
+    const uint8_t* begin = piece_data + piece_offsets[i];
+    const uint8_t* end = piece_data + piece_offsets[i + 1];
+    size_t len = (size_t)(end - begin);
+    if (len == 0) continue;
+    if (len > m->max_piece_len) m->max_piece_len = len;
+    int32_t node = 0;
+    for (const uint8_t* p = begin; p != end; ++p) {
+      int32_t nxt = m->nodes[node].children[*p];
+      if (nxt < 0) {
+        nxt = trie_add_node(m);
+        m->nodes[node].children[*p] = nxt;
+      }
+      node = nxt;
+    }
+    // first occurrence wins (HF semantics)
+    if (m->nodes[node].piece_id < 0) m->nodes[node].piece_id = (int32_t)i;
+  }
+  m->unk_score = min_score - unk_penalty;
+  m->unk_id = unk_id;
+  m->cache_cap = (size_t)cache_cap;
+  return m;
+}
+
+void uni_free(void* handle) { delete (UnigramModel*)handle; }
+
+// Viterbi over one pretoken; appends ids to out. Returns count appended.
+static size_t uni_viterbi(UnigramModel* m, const uint8_t* s, size_t n,
+                          std::vector<int32_t>& out) {
+  constexpr double NEG = -std::numeric_limits<double>::infinity();
+  // dp arrays on stack-ish vectors (n <= a few thousand)
+  std::vector<double> best(n + 1, NEG);
+  std::vector<int32_t> back_begin(n + 1, -1);
+  std::vector<int32_t> back_id(n + 1, -1);
+  best[0] = 0.0;
+  for (size_t begin = 0; begin < n; ++begin) {
+    if (best[begin] == NEG) continue;
+    int32_t node = 0;
+    bool has_single = false;
+    size_t max_end = std::min(n, begin + m->max_piece_len);
+    for (size_t end = begin; end < max_end; ++end) {
+      node = m->nodes[node].children[s[end]];
+      if (node < 0) break;
+      int32_t pid = m->nodes[node].piece_id;
+      if (pid >= 0) {
+        if (end == begin) has_single = true;
+        double cand = best[begin] + m->scores[pid];
+        if (cand > best[end + 1]) {
+          best[end + 1] = cand;
+          back_begin[end + 1] = (int32_t)begin;
+          back_id[end + 1] = pid;
+        }
+      }
+    }
+    if (!has_single) {
+      double cand = best[begin] + m->unk_score;
+      if (cand > best[begin + 1]) {
+        best[begin + 1] = cand;
+        back_begin[begin + 1] = (int32_t)begin;
+        back_id[begin + 1] = -1;  // unk marker
+      }
+    }
+  }
+  // backtrack
+  size_t start_size = out.size();
+  size_t pos = n;
+  while (pos > 0) {
+    int32_t pid = back_id[pos];
+    out.push_back(pid >= 0 ? pid : m->unk_id);
+    pos = (size_t)back_begin[pos];
+  }
+  std::reverse(out.begin() + start_size, out.end());
+  return out.size() - start_size;
+}
+
+// Encode a batch of pretokens (concatenated bytes + offsets). Writes ids to
+// out_ids (capacity out_cap) and per-pretoken lengths to out_lens. Returns
+// total ids written, or -1 if capacity insufficient.
+int64_t uni_encode_batch(void* handle, const uint8_t* text,
+                         const int64_t* offsets, int64_t n_pretokens,
+                         int32_t* out_ids, int64_t out_cap,
+                         int32_t* out_lens) {
+  auto* m = (UnigramModel*)handle;
+  std::vector<int32_t> buf;
+  int64_t total = 0;
+  std::string key;
+  for (int64_t i = 0; i < n_pretokens; ++i) {
+    const uint8_t* s = text + offsets[i];
+    size_t n = (size_t)(offsets[i + 1] - offsets[i]);
+    key.assign((const char*)s, n);
+    auto it = m->cache.find(key);
+    const std::vector<int32_t>* ids;
+    if (it != m->cache.end()) {
+      ids = &it->second;
+    } else {
+      buf.clear();
+      uni_viterbi(m, s, n, buf);
+      if (m->cache.size() < m->cache_cap) {
+        ids = &m->cache.emplace(std::move(key), buf).first->second;
+      } else {
+        ids = &buf;
+      }
+    }
+    int64_t len = (int64_t)ids->size();
+    if (total + len > out_cap) return -1;
+    std::memcpy(out_ids + total, ids->data(), len * sizeof(int32_t));
+    out_lens[i] = (int32_t)len;
+    total += len;
+  }
+  return total;
+}
+
+// Viterbi score only (log-prob of best segmentation) per pretoken.
+void uni_score_batch(void* handle, const uint8_t* text, const int64_t* offsets,
+                     int64_t n_pretokens, double* out_scores) {
+  auto* m = (UnigramModel*)handle;
+  std::vector<int32_t> buf;
+  for (int64_t i = 0; i < n_pretokens; ++i) {
+    const uint8_t* s = text + offsets[i];
+    size_t n = (size_t)(offsets[i + 1] - offsets[i]);
+    buf.clear();
+    uni_viterbi(m, s, n, buf);
+    double score = 0.0;
+    for (int32_t pid : buf) score += (pid >= 0 && pid != m->unk_id) ? m->scores[pid] : m->unk_score;
+    // note: unk pieces that coincide with a real unk_id piece use its score;
+    // close enough for scoring (exact per-id score reused)
+    out_scores[i] = score;
+  }
+}
+
+// --------------------------------------------------------------------------
+// Substring enumeration for tokenizer sampling
+// --------------------------------------------------------------------------
+
+struct CountMap {
+  std::unordered_map<std::string, uint64_t> counts;
+  // serialization scratch
+  std::string keys;
+  std::vector<int64_t> offsets;
+  std::vector<uint64_t> values;
+};
+
+// Enumerate substrings of each pretoken starting at every `stride`-th
+// char-start boundary, byte-lengths 1..max_length-1. Score contribution =
+// weight * byte_weight(piece) where byte_weight = utf-8 length of the
+// byte-CHAR representation (1 for printable-latin bytes, 2 otherwise) —
+// matching rust_utils/src/lib.rs:148-149 token.len() on the mapped string.
+//
+// char_starts: byte positions (relative to each pretoken) where original
+// characters start, concatenated; char_start_offsets delimits per pretoken.
+void* count_substrings(const uint8_t* text, const int64_t* offsets,
+                       int64_t n_pretokens, const int32_t* weights,
+                       const int32_t* char_starts,
+                       const int64_t* char_start_offsets, int32_t max_length,
+                       int32_t stride) {
+  // byte weight table: GPT-2 keeps '!'..'~', 0xA1..0xAC, 0xAE..0xFF as
+  // 1-char (latin-1 chars are 2 utf-8 bytes when >= 0x80)
+  static uint8_t wtab[256];
+  static bool init = false;
+  if (!init) {
+    for (int b = 0; b < 256; ++b) {
+      bool keep = (b >= '!' && b <= '~') || (b >= 0xA1 && b <= 0xAC) ||
+                  (b >= 0xAE && b <= 0xFF);
+      // kept bytes >= 0x80 map to themselves as latin-1 chars (2 utf-8
+      // bytes); shifted bytes map into U+0100.. (2 utf-8 bytes); kept ASCII
+      // maps to 1 byte
+      wtab[b] = (keep && b < 0x80) ? 1 : 2;
+    }
+    init = true;
+  }
+  auto* cm = new CountMap();
+  cm->counts.reserve(1 << 20);
+  std::string piece;
+  for (int64_t i = 0; i < n_pretokens; ++i) {
+    const uint8_t* s = text + offsets[i];
+    int64_t n = offsets[i + 1] - offsets[i];
+    uint64_t w = (uint64_t)weights[i];
+    const int32_t* cs = char_starts + char_start_offsets[i];
+    int64_t n_chars = char_start_offsets[i + 1] - char_start_offsets[i];
+    for (int64_t ci = 0; ci < n_chars; ci += stride) {
+      int64_t start = cs[ci];
+      int64_t upper = std::min((int64_t)(max_length - 1), n - start);
+      uint64_t wsum = 0;
+      for (int64_t k = 1; k <= upper; ++k) {
+        wsum += wtab[s[start + k - 1]];
+        piece.assign((const char*)(s + start), (size_t)k);
+        cm->counts[piece] += w * wsum;
+      }
+    }
+  }
+  return cm;
+}
+
+int64_t countmap_size(void* handle) {
+  auto* cm = (CountMap*)handle;
+  return (int64_t)cm->counts.size();
+}
+
+// Serialize: fills offsets (n+1), values (n) and returns total key bytes.
+// Call with keys=nullptr first to get the size, then with buffers.
+int64_t countmap_serialize(void* handle, uint8_t* keys, int64_t* offsets,
+                           uint64_t* values) {
+  auto* cm = (CountMap*)handle;
+  if (keys == nullptr) {
+    int64_t total = 0;
+    for (auto& kv : cm->counts) total += (int64_t)kv.first.size();
+    return total;
+  }
+  int64_t pos = 0, i = 0;
+  for (auto& kv : cm->counts) {
+    offsets[i] = pos;
+    std::memcpy(keys + pos, kv.first.data(), kv.first.size());
+    pos += (int64_t)kv.first.size();
+    values[i] = kv.second;
+    ++i;
+  }
+  offsets[i] = pos;
+  return pos;
+}
+
+void countmap_free(void* handle) { delete (CountMap*)handle; }
+
+// --------------------------------------------------------------------------
+// Aho-Corasick multi-pattern counting (substring prior)
+// --------------------------------------------------------------------------
+
+struct AcNode {
+  int32_t children[256];
+  int32_t fail;
+  int32_t out_head;  // index into out_values/out_next linked list, -1 = none
+};
+
+struct AhoCorasick {
+  std::vector<AcNode> nodes;
+  std::vector<int32_t> out_values;
+  std::vector<int32_t> out_next;
+};
+
+static int32_t ac_add_node(AhoCorasick* ac) {
+  ac->nodes.emplace_back();
+  AcNode& n = ac->nodes.back();
+  std::memset(n.children, -1, sizeof(n.children));
+  n.fail = 0;
+  n.out_head = -1;
+  return (int32_t)(ac->nodes.size() - 1);
+}
+
+void* ac_new(const uint8_t* pattern_data, const int64_t* pattern_offsets,
+             const int32_t* values, int64_t n_patterns) {
+  auto* ac = new AhoCorasick();
+  ac->nodes.reserve(1 << 16);
+  ac_add_node(ac);
+  for (int64_t i = 0; i < n_patterns; ++i) {
+    const uint8_t* begin = pattern_data + pattern_offsets[i];
+    const uint8_t* end = pattern_data + pattern_offsets[i + 1];
+    if (begin == end) continue;
+    int32_t node = 0;
+    for (const uint8_t* p = begin; p != end; ++p) {
+      int32_t nxt = ac->nodes[node].children[*p];
+      if (nxt < 0) {
+        nxt = ac_add_node(ac);
+        ac->nodes[node].children[*p] = nxt;
+      }
+      node = nxt;
+    }
+    ac->out_values.push_back(values[i]);
+    ac->out_next.push_back(ac->nodes[node].out_head);
+    ac->nodes[node].out_head = (int32_t)(ac->out_values.size() - 1);
+  }
+  // BFS failure links; convert children to goto function (automaton form)
+  std::vector<int32_t> queue;
+  for (int b = 0; b < 256; ++b) {
+    int32_t c = ac->nodes[0].children[b];
+    if (c < 0) {
+      ac->nodes[0].children[b] = 0;
+    } else {
+      ac->nodes[c].fail = 0;
+      queue.push_back(c);
+    }
+  }
+  for (size_t qi = 0; qi < queue.size(); ++qi) {
+    int32_t node = queue[qi];
+    // merge fail output chain
+    int32_t f = ac->nodes[node].fail;
+    if (ac->nodes[node].out_head < 0) {
+      ac->nodes[node].out_head = ac->nodes[f].out_head;
+    } else {
+      int32_t tail = ac->nodes[node].out_head;
+      while (ac->out_next[tail] >= 0) tail = ac->out_next[tail];
+      ac->out_next[tail] = ac->nodes[f].out_head;
+    }
+    for (int b = 0; b < 256; ++b) {
+      int32_t c = ac->nodes[node].children[b];
+      if (c < 0) {
+        ac->nodes[node].children[b] = ac->nodes[f].children[b];
+      } else {
+        ac->nodes[c].fail = ac->nodes[f].children[b];
+        queue.push_back(c);
+      }
+    }
+  }
+  return ac;
+}
+
+void ac_free(void* handle) { delete (AhoCorasick*)handle; }
+
+// Count pattern occurrences over weighted texts into acc (int64, caller
+// allocates with max(value)+1 entries).
+void ac_count(void* handle, const uint8_t* text, const int64_t* offsets,
+              int64_t n_texts, const int64_t* weights, int64_t* acc) {
+  auto* ac = (AhoCorasick*)handle;
+  for (int64_t i = 0; i < n_texts; ++i) {
+    const uint8_t* s = text + offsets[i];
+    int64_t n = offsets[i + 1] - offsets[i];
+    int64_t w = weights[i];
+    int32_t node = 0;
+    for (int64_t j = 0; j < n; ++j) {
+      node = ac->nodes[node].children[s[j]];
+      for (int32_t o = ac->nodes[node].out_head; o >= 0; o = ac->out_next[o]) {
+        acc[ac->out_values[o]] += w;
+      }
+    }
+  }
+}
+
+}  // extern "C"

@@ -19,6 +19,7 @@ from ..tokenization import Tokenizer
 from ..tokenization.convert import BYTE_LEVEL_PRETOKENIZER, convert_to_byte_level
 from ..tokenization.core import AddedToken
 from ..tokenization.models import Unigram
+from ..tokenization.fast_encode import fast_encoder_or_none
 from ..tokenization.sampler import TokenizerSampler
 from ..tokenization.surface_forms import get_surface_form_matrix
 from .config import DataConfig
@@ -241,14 +242,21 @@ class Collator:
             pad_token = tokenizer.all_special_tokens[0]
         pad_id = tokenizer.token_to_id(pad_token) if pad_token else 0
 
-        tokenizer.enable_truncation(cfg.block_size)
-        tokenizer.enable_padding(length=cfg.block_size, pad_id=pad_id, pad_token=pad_token or "")
-        encs = tokenizer.encode_batch(texts, add_special_tokens=True)
-        tokenizer.no_truncation()
-        tokenizer.no_padding()
-
-        input_ids = np.array([e.ids for e in encs], dtype=np.int32)
-        attention_mask = np.array([e.attention_mask for e in encs], dtype=np.int32)
+        fast = fast_encoder_or_none(tokenizer)
+        if fast is not None:
+            input_ids, attention_mask = fast.encode_batch(
+                texts, add_special_tokens=True, max_length=cfg.block_size, pad_id=pad_id
+            )
+        else:
+            tokenizer.enable_truncation(cfg.block_size)
+            tokenizer.enable_padding(
+                length=cfg.block_size, pad_id=pad_id, pad_token=pad_token or ""
+            )
+            encs = tokenizer.encode_batch(texts, add_special_tokens=True)
+            tokenizer.no_truncation()
+            tokenizer.no_padding()
+            input_ids = np.array([e.ids for e in encs], dtype=np.int32)
+            attention_mask = np.array([e.attention_mask for e in encs], dtype=np.int32)
 
         for key, value in (special_ids_map or {}).items():
             input_ids[input_ids == key] = value

@@ -1,0 +1,147 @@
+"""Fast batch encoding for canonical byte-level Unigram tokenizers.
+
+The collator's hot path (reference: zett/collator.py:166-175, delegated to
+the HF Rust crate) re-implemented on the native C++ Viterbi: Python does the
+regex pre-split (C-speed `regex` module), C++ does trie matching + Viterbi +
+memoization over raw bytes.
+
+Only valid for the canonical sampled/converted pipeline:
+Prepend(" ") normalizer (optional) + Split(SPLIT_REGEX, invert) + ByteLevel
+map + Unigram model. Differential-tested against Tokenizer.encode_batch.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from ..constants import SPLIT_REGEX
+from .bytemaps import CHARS_TO_BYTES
+from .core import Tokenizer
+from .models import Unigram
+from .pretokenizers import _compiled
+
+try:
+    from zett_tpu.csrc import host_lib as _host_lib
+except Exception:  # pragma: no cover
+    _host_lib = None
+
+
+def _canonical_structure(tok: Tokenizer) -> bool:
+    if not isinstance(tok.model, Unigram):
+        return False
+    pt = tok.to_json().get("pre_tokenizer") or {}
+    if pt.get("type") != "Sequence":
+        return False
+    kinds = [p["type"] for p in pt.get("pretokenizers", [])]
+    return kinds == ["Split", "ByteLevel"]
+
+
+class FastUnigramEncoder:
+    """Vectorized encode for a canonical byte-level Unigram tokenizer."""
+
+    def __init__(self, tok: Tokenizer):
+        assert _host_lib is not None, "native host library unavailable"
+        assert _canonical_structure(tok), "tokenizer is not canonical byte-level Unigram"
+        self.tok = tok
+        data = tok.to_json()
+        norm = data.get("normalizer")
+        self.prepend = None
+        if norm is not None:
+            if norm.get("type") == "Prepend":
+                self.prepend = norm["prepend"]
+            else:
+                raise ValueError(f"unsupported normalizer for fast path: {norm}")
+        self._rx = _compiled(SPLIT_REGEX)
+
+        pieces_raw: List[bytes] = []
+        scores: List[float] = []
+        id_map: List[int] = []
+        for i, (piece, score) in enumerate(tok.model.pieces):
+            try:
+                raw = bytes(CHARS_TO_BYTES[c] for c in piece)
+            except KeyError:
+                continue  # specials / <unused_*> never match raw byte text
+            pieces_raw.append(raw)
+            scores.append(score)
+            id_map.append(i)
+        self._id_map = np.asarray(id_map, dtype=np.int32)
+        self._native = _host_lib.NativeUnigram(pieces_raw, scores, unk_id=-1)
+
+        # single-sequence special-token template (TemplateProcessing)
+        self.prefix_ids: List[int] = []
+        self.suffix_ids: List[int] = []
+        post = data.get("post_processor")
+        if post is not None and post.get("type") == "TemplateProcessing":
+            seen_seq = False
+            specials = post["special_tokens"]
+            if isinstance(specials, list):
+                specials = {s["id"]: s for s in specials}
+            for piece in post["single"]:
+                if "Sequence" in piece:
+                    seen_seq = True
+                elif "SpecialToken" in piece:
+                    ids = specials[piece["SpecialToken"]["id"]]["ids"]
+                    (self.suffix_ids if seen_seq else self.prefix_ids).extend(ids)
+        elif post is not None and post.get("type") not in ("ByteLevel",):
+            raise ValueError(f"unsupported post_processor for fast path: {post['type']}")
+
+    def encode_batch(
+        self,
+        texts: List[str],
+        add_special_tokens: bool = True,
+        max_length: Optional[int] = None,
+        pad_id: int = 0,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Returns (input_ids, attention_mask) int32 arrays. With max_length
+        set, output is truncated+padded to (n_texts, max_length); otherwise
+        arrays are padded to the longest sequence."""
+        pretokens: List[bytes] = []
+        text_spans: List[Tuple[int, int]] = []
+        for text in texts:
+            if self.prepend and text:
+                text = self.prepend + text
+            start = len(pretokens)
+            for m in self._rx.finditer(text):
+                pretokens.append(m.group().encode("utf-8"))
+            text_spans.append((start, len(pretokens)))
+
+        flat_ids, lens = self._native.encode_flat(pretokens)
+        flat_ids = self._id_map[flat_ids]  # re-map trie ids -> vocab ids
+        ends = np.cumsum(lens)
+        starts = ends - lens
+
+        prefix = self.prefix_ids if add_special_tokens else []
+        suffix = self.suffix_ids if add_special_tokens else []
+        seqs: List[np.ndarray] = []
+        for s, e in text_spans:
+            if e > s:
+                ids = flat_ids[starts[s]: ends[e - 1]]
+            else:
+                ids = np.empty(0, dtype=np.int32)
+            if prefix or suffix:
+                ids = np.concatenate([
+                    np.asarray(prefix, dtype=np.int32), ids,
+                    np.asarray(suffix, dtype=np.int32),
+                ])
+            if max_length is not None and len(ids) > max_length:
+                ids = ids[:max_length]
+            seqs.append(ids)
+
+        width = max_length if max_length is not None else max((len(x) for x in seqs), default=0)
+        out = np.full((len(texts), width), pad_id, dtype=np.int32)
+        mask = np.zeros((len(texts), width), dtype=np.int32)
+        for i, ids in enumerate(seqs):
+            out[i, : len(ids)] = ids
+            mask[i, : len(ids)] = 1
+        return out, mask
+
+
+def fast_encoder_or_none(tok: Tokenizer) -> Optional[FastUnigramEncoder]:
+    if _host_lib is None or not _canonical_structure(tok):
+        return None
+    try:
+        return FastUnigramEncoder(tok)
+    except (ValueError, AssertionError):
+        return None

@@ -2,12 +2,16 @@
 
 Replaces the reference's Rust module (rust_utils/src/lib.rs:21-257,
 TokenizerSampler::sample_tokenizer): enumerate substrings of pre-tokenized
-text, score = frequency * byte-length, keep a sliding window of per-batch
-count maps, normalize to log-probs with Gaussian noise, always include the
-256-byte alphabet and whitespace-run pieces, truncate to seed_size.
+text, score = frequency * byte-length of the byte-char form, keep a sliding
+window of per-batch count maps, normalize to log-probs with Gaussian noise,
+always include the 256-byte alphabet and whitespace-run pieces, truncate to
+seed_size.
 
-This module is the semantic reference; zett_tpu.csrc provides the C++ fast
-path with identical output (differential-tested).
+All internal state is RAW BYTES (the byte-level mapping is 1 byte : 1 char);
+pieces are converted to byte-char strings only at the output boundary. The
+hot substring-enumeration loop runs in the native C++ library
+(zett_tpu/csrc/zett_host.cpp count_substrings) when available, with this
+module's pure-Python path as the differential-tested reference.
 """
 
 from __future__ import annotations
@@ -18,7 +22,7 @@ from typing import Dict, List, Optional, Tuple
 import numpy as np
 
 from ..constants import EXTRA_WHITESPACE_CHARS, SPLIT_REGEX_NO_MARKS
-from .bytemaps import BYTE_ALPHABET, text_to_byte_chars
+from .bytemaps import BYTE_ALPHABET, bytes_to_byte_chars
 from .pretokenizers import _compiled
 
 try:
@@ -26,14 +30,20 @@ try:
 except Exception:  # pragma: no cover - C++ lib optional
     _host_lib = None
 
+def _byte_weight_table() -> np.ndarray:
+    # utf-8 length of each byte's byte-char (matches rust token.len() scoring)
+    w = np.full(256, 2, dtype=np.int64)
+    for b in range(ord("!"), ord("~") + 1):
+        w[b] = 1
+    return w
 
-def pretokenize_byte_level(text: str) -> List[Tuple[str, List[int]]]:
-    """GPT-2-regex split (no \\p{M}) then byte-char mapping, with a prepended
-    space — the sampler's canonical pre-tokenization (rust_utils lib.rs:82-111).
 
-    Returns (mapped_pretoken, char_start_offsets) where char_start_offsets are
-    the positions in the mapped string where original characters begin.
-    """
+_BYTE_W = _byte_weight_table()
+
+
+def pretokenize_bytes(text: str) -> List[Tuple[bytes, List[int]]]:
+    """GPT-2-regex split (no \\p{M}) with a prepended space
+    (rust_utils lib.rs:82-111). Returns (utf8_bytes, char_start_offsets)."""
     text = " " + text
     rx = _compiled(SPLIT_REGEX_NO_MARKS)
     out = []
@@ -44,28 +54,60 @@ def pretokenize_byte_level(text: str) -> List[Tuple[str, List[int]]]:
         for c in piece:
             starts.append(pos)
             pos += len(c.encode("utf-8"))
-        out.append((text_to_byte_chars(piece), starts))
+        out.append((piece.encode("utf-8"), starts))
     return out
 
 
-def _count_substrings(
+def pretokenize_byte_level(text: str) -> List[Tuple[str, List[int]]]:
+    """Byte-char variant (kept for tests/diagnostics)."""
+    return [
+        (bytes_to_byte_chars(raw), starts) for raw, starts in pretokenize_bytes(text)
+    ]
+
+
+def _count_substrings_py(
     texts_with_counts: Dict[str, int], max_length: int, stride: int
-) -> Dict[str, int]:
+) -> Dict[bytes, int]:
     """Enumerate substrings starting at every `stride`-th original-char
-    boundary, with byte-char lengths 1..max_length-1;
-    score += count * utf8_byte_length of the byte-char piece
+    boundary, byte lengths 1..max_length-1; score += count * byte-char-utf8len
     (reference: rust_utils/src/lib.rs:113-158)."""
-    counts: Dict[str, int] = {}
+    counts: Dict[bytes, int] = {}
     for text, n in texts_with_counts.items():
-        for pretoken, char_starts in pretokenize_byte_level(text):
-            L = len(pretoken)
+        for raw, char_starts in pretokenize_bytes(text):
+            L = len(raw)
             for i in char_starts[::stride]:
                 upper = min(max_length - 1, L - i)
+                wsum = 0
                 for k in range(1, upper + 1):
-                    piece = pretoken[i : i + k]
-                    score = n * len(piece.encode("utf-8"))
-                    counts[piece] = counts.get(piece, 0) + score
+                    wsum += int(_BYTE_W[raw[i + k - 1]])
+                    piece = raw[i : i + k]
+                    counts[piece] = counts.get(piece, 0) + n * wsum
     return counts
+
+
+def _count_substrings_native(
+    texts_with_counts: Dict[str, int], max_length: int, stride: int
+) -> Dict[bytes, int]:
+    pretokens: List[bytes] = []
+    char_starts: List[List[int]] = []
+    weights: List[int] = []
+    for text, n in texts_with_counts.items():
+        for raw, starts in pretokenize_bytes(text):
+            pretokens.append(raw)
+            char_starts.append(starts)
+            weights.append(n)
+    return _host_lib.count_substrings_native(
+        pretokens, char_starts, weights, max_length, stride
+    )
+
+
+def _count_substrings(
+    texts_with_counts: Dict[str, int], max_length: int, stride: int,
+    use_native: bool = True,
+) -> Dict[bytes, int]:
+    if use_native and _host_lib is not None:
+        return _count_substrings_native(texts_with_counts, max_length, stride)
+    return _count_substrings_py(texts_with_counts, max_length, stride)
 
 
 class TokenizerSampler:
@@ -73,9 +115,7 @@ class TokenizerSampler:
 
     def __init__(self, use_native: bool = True):
         self.seed_cache: deque = deque()
-        self._native = None
-        if use_native and _host_lib is not None:
-            self._native = _host_lib.NativeSampler()
+        self.use_native = use_native and _host_lib is not None
 
     def sample_tokenizer(
         self,
@@ -88,51 +128,35 @@ class TokenizerSampler:
         push_current: bool = True,
         rng: Optional[np.random.Generator] = None,
     ) -> List[Tuple[str, float]]:
-        if self._native is not None:
-            seed = int((rng or np.random.default_rng()).integers(0, 2**31 - 1))
-            return self._native.sample_tokenizer(
-                texts_with_counts, seed_size, max_length, stride,
-                noise_std, pop_prev, push_current, seed,
-            )
-        return self._sample_py(
-            texts_with_counts, seed_size, max_length, stride,
-            noise_std, pop_prev, push_current, rng,
-        )
-
-    def _sample_py(
-        self, texts_with_counts, seed_size, max_length, stride,
-        noise_std, pop_prev, push_current, rng,
-    ) -> List[Tuple[str, float]]:
         rng = rng or np.random.default_rng()
-        current = _count_substrings(texts_with_counts, max_length, stride)
+        current = _count_substrings(
+            texts_with_counts, max_length, stride, self.use_native
+        )
 
         maybe_prev = self.seed_cache.pop() if (pop_prev and self.seed_cache) else None
         self.seed_cache.appendleft(current)
 
         seed_pieces: List[Tuple[str, float]] = []
         if pop_prev:
-            merged: Dict[str, int] = {}
+            merged: Dict[bytes, int] = {}
             for batch_counts in self.seed_cache:
                 for k, v in batch_counts.items():
                     merged[k] = merged.get(k, 0) + v
 
-            score_sum = float(sum(merged.values()))
-            min_score = float(min(merged.values())) if merged else 1.0
+            values = np.fromiter(merged.values(), dtype=np.float64, count=len(merged))
+            score_sum = float(values.sum()) if len(values) else 1.0
+            min_score = float(values.min()) if len(values) else 1.0
             min_log_prob = float(np.log(min_score / score_sum)) if score_sum else 0.0
 
             for char in BYTE_ALPHABET:
                 seed_pieces.append((char, min_log_prob))
 
-            noise = (
-                rng.normal(0.0, noise_std, size=len(merged))
-                if noise_std > 0
-                else np.zeros(len(merged))
-            )
-            scored = []
-            for (piece, v), eps in zip(merged.items(), noise):
-                noised = v / score_sum + eps
-                scored.append((piece, float(np.log(noised)) if noised > 0 else -100000.0))
-            scored.sort(key=lambda x: -x[1])
+            probs = values / score_sum
+            if noise_std > 0:
+                probs = probs + rng.normal(0.0, noise_std, size=len(probs))
+            with np.errstate(divide="ignore", invalid="ignore"):
+                scores = np.where(probs > 0, np.log(np.maximum(probs, 1e-300)), -100000.0)
+            order = np.argsort(-scores, kind="stable")
 
             ws = EXTRA_WHITESPACE_CHARS
             for c1 in ws:
@@ -140,10 +164,16 @@ class TokenizerSampler:
                     for c2 in ws:
                         seed_pieces.append((c2 + c1 * i, 0.0))
 
-            for piece, score in scored:
-                if len(piece) == 1 or sum(c in ws for c in piece) >= 2:
-                    continue  # single chars and ws runs already added
-                seed_pieces.append((piece, score))
+            keys = list(merged.keys())
+            ws_raw = set(b" \n\t")
+            for idx in order:
+                raw = keys[idx]
+                if len(raw) == 1:
+                    continue  # single chars already added via the alphabet
+                n_ws = sum(1 for b in raw if b in ws_raw)
+                if n_ws >= 2:
+                    continue  # whitespace runs already added
+                seed_pieces.append((bytes_to_byte_chars(raw), float(scores[idx])))
                 if len(seed_pieces) >= seed_size:
                     break
 
