@@ -218,6 +218,143 @@ CONVERTERS = {
 }
 
 
+# ------------------------------------------------------------------ inverse
+def _flatten(tree: dict, prefix: str = "") -> Dict[str, np.ndarray]:
+    out = {}
+    for k, v in tree.items():
+        key = f"{prefix}/{k}" if prefix else k
+        if isinstance(v, dict):
+            out.update(_flatten(v, key))
+        else:
+            out[key] = np.asarray(v)
+    return out
+
+
+def invert_gpt2(params: dict, config) -> Dict[str, np.ndarray]:
+    flat = _flatten(params)
+    sd: Dict[str, np.ndarray] = {}
+    for k, v in flat.items():
+        parts = k.split("/")
+        if k == "transformer/wte/embedding":
+            sd["transformer.wte.weight"] = v
+            if config.tie_word_embeddings:
+                sd["lm_head.weight"] = v
+        elif k == "transformer/wpe/embedding":
+            sd["transformer.wpe.weight"] = v
+        elif k == "lm_head/kernel":
+            sd["lm_head.weight"] = v.T
+        elif parts[1] == "ln_f":
+            sd[f"transformer.ln_f.{'weight' if parts[2] == 'scale' else 'bias'}"] = v
+        elif parts[1].startswith("h_"):
+            i = parts[1][2:]
+            rest = parts[2:]
+            if rest[0] in ("ln_1", "ln_2"):
+                sd[f"transformer.h.{i}.{rest[0]}.{'weight' if rest[1] == 'scale' else 'bias'}"] = v
+            elif rest[0] == "attn":
+                name = "weight" if rest[2] == "kernel" else "bias"
+                sd[f"transformer.h.{i}.attn.{rest[1]}.{name}"] = v
+            elif rest[0] in ("c_fc", "c_proj"):
+                name = "weight" if rest[1] == "kernel" else "bias"
+                sd[f"transformer.h.{i}.mlp.{rest[0]}.{name}"] = v
+    return sd
+
+
+def invert_llama(params: dict, config) -> Dict[str, np.ndarray]:
+    flat = _flatten(params)
+    sd: Dict[str, np.ndarray] = {}
+    for k, v in flat.items():
+        parts = k.split("/")
+        if k == "model/embed_tokens/embedding":
+            sd["model.embed_tokens.weight"] = v
+            if config.tie_word_embeddings:
+                sd["lm_head.weight"] = v
+        elif k == "model/norm/weight":
+            sd["model.norm.weight"] = v
+        elif k == "lm_head/kernel":
+            sd["lm_head.weight"] = v.T
+        elif parts[1].startswith("layers_"):
+            i = parts[1][len("layers_"):]
+            rest = parts[2:]
+            if rest[0].endswith("layernorm"):
+                sd[f"model.layers.{i}.{rest[0]}.weight"] = v
+            else:  # self_attn / mlp projections
+                name = "weight" if rest[2] == "kernel" else "bias"
+                val = v.T if rest[2] == "kernel" else v
+                sd[f"model.layers.{i}.{rest[0]}.{rest[1]}.{name}"] = val
+    return sd
+
+
+def invert_roberta(params: dict, config) -> Dict[str, np.ndarray]:
+    flat = _flatten(params)
+    sd: Dict[str, np.ndarray] = {}
+    emb_key = "roberta/word_embeddings/embedding"
+    for k, v in flat.items():
+        parts = k.split("/")
+        if k == emb_key:
+            sd["roberta.embeddings.word_embeddings.weight"] = v
+            sd["lm_head.decoder.weight"] = v
+        elif k == "roberta/position_embeddings/embedding":
+            sd["roberta.embeddings.position_embeddings.weight"] = v
+        elif k == "roberta/token_type_embeddings/embedding":
+            sd["roberta.embeddings.token_type_embeddings.weight"] = v
+        elif parts[:2] == ["roberta", "embeddings_ln"]:
+            sd[f"roberta.embeddings.LayerNorm.{'weight' if parts[2] == 'scale' else 'bias'}"] = v
+        elif k.startswith("lm_head_dense/"):
+            name = "weight" if parts[1] == "kernel" else "bias"
+            sd[f"lm_head.dense.{name}"] = v.T if name == "weight" else v
+        elif k.startswith("lm_head_ln/"):
+            sd[f"lm_head.layer_norm.{'weight' if parts[1] == 'scale' else 'bias'}"] = v
+        elif k == "lm_head_bias":
+            sd["lm_head.bias"] = v
+            sd["lm_head.decoder.bias"] = v
+        elif parts[1].startswith("layer_"):
+            i = parts[1][len("layer_"):]
+            base = f"roberta.encoder.layer.{i}"
+            rest = parts[2:]
+            inv = {
+                "query": "attention.self.query",
+                "key": "attention.self.key",
+                "value": "attention.self.value",
+                "attention_output": "attention.output.dense",
+                "attention_ln": "attention.output.LayerNorm",
+                "intermediate": "intermediate.dense",
+                "output": "output.dense",
+                "output_ln": "output.LayerNorm",
+            }
+            hf_name = inv[rest[0]]
+            if rest[1] == "kernel":
+                sd[f"{base}.{hf_name}.weight"] = v.T
+            elif rest[1] == "scale":
+                sd[f"{base}.{hf_name}.weight"] = v
+            else:
+                sd[f"{base}.{hf_name}.bias"] = v
+    return sd
+
+
+INVERTERS = {
+    "gpt2": invert_gpt2,
+    "llama": invert_llama,
+    "mistral": invert_llama,
+    "gemma": invert_llama,
+    "roberta": invert_roberta,
+    "xlm-roberta": invert_roberta,
+}
+
+
+def save_hf_model(path: str, params: dict, model_type: str, config, config_json: dict = None):
+    """Write a transferred model as an HF-format checkpoint
+    (model.safetensors + config.json)."""
+    from safetensors.numpy import save_file
+
+    os.makedirs(path, exist_ok=True)
+    sd = INVERTERS[model_type](params, config)
+    save_file({k: np.ascontiguousarray(v) for k, v in sd.items()},
+              os.path.join(path, "model.safetensors"))
+    if config_json is not None:
+        with open(os.path.join(path, "config.json"), "w") as f:
+            json.dump(config_json, f, indent=2)
+
+
 def load_backbone_params(path: str, model_type: str, config) -> dict:
     sd = load_hf_state_dict(path)
     converter = CONVERTERS.get(model_type)
