@@ -151,7 +151,7 @@ class TrainDataset(TorchIterableDataset):
                 texts.append(text)
             yield {
                 "texts": texts,
-                "lang_code": "all" if len(self.langs) > 1 else language,
+                "lang_code": "all" if len(self.langs) > 1 else str(language),
             }
 
 

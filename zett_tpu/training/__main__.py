@@ -1,0 +1,212 @@
+"""Training CLI: hypernetwork training end-to-end.
+
+Usage:
+  python -m zett_tpu.training CONFIG.json
+  python -m zett_tpu.training --model MODEL_DIR --train-data DIR --output-dir OUT [...]
+
+A JSON config maps 1:1 onto the four config dataclasses (reference:
+HfArgumentParser over ModelArguments/DataArguments/TrainingArguments/
+HypernetArgs, train.py:197-212); the basename becomes the run name. Metrics
+stream to <output_dir>/metrics.jsonl (process 0 only).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+
+import numpy as np
+
+
+def load_configs(config: dict):
+    from ..data import DataConfig
+    from ..models import HypernetConfig
+    from .config import TrainingConfig
+
+    def pick(cls):
+        known = {f.name for f in dataclasses.fields(cls)}
+        return cls(**{k: v for k, v in config.items() if k in known})
+
+    return pick(TrainingConfig), pick(DataConfig), pick(HypernetConfig)
+
+
+def main(argv=None):
+    argv = argv if argv is not None else sys.argv[1:]
+    if len(argv) == 1 and argv[0].endswith(".json"):
+        with open(argv[0]) as f:
+            config = json.load(f)
+        run_name = os.path.splitext(os.path.basename(argv[0]))[0]
+    else:
+        p = argparse.ArgumentParser(description=__doc__)
+        p.add_argument("--config", default=None)
+        p.add_argument("--model", dest="model_dir")
+        p.add_argument("--train-data", dest="train_directory")
+        p.add_argument("--valid-data", dest="valid_directory", default=None)
+        p.add_argument("--output-dir", dest="output_dir", default="out")
+        p.add_argument("--steps", type=int, default=None)
+        p.add_argument("--batch-size", dest="batch_size", type=int, default=128)
+        p.add_argument("--num-workers", type=int, default=0)
+        p.add_argument("--langs", nargs="*", default=["en"])
+        args = p.parse_args(argv)
+        config = {}
+        if args.config:
+            with open(args.config) as f:
+                config = json.load(f)
+        for k, v in vars(args).items():
+            if v is not None and k != "config":
+                config[k] = v
+        run_name = os.path.basename(config.get("output_dir", "run"))
+
+    run_training(config, run_name)
+
+
+def run_training(config: dict, run_name: str = "run"):
+    import jax
+
+    from ..data import Collator, DataConfig, MLMCollator, TrainDataset
+    from ..models import HypernetConfig
+    from ..models.backbones.loader import load_backbone_params
+    from ..models.backbones.registry import build_model
+    from ..parallel import make_mesh
+    from ..tokenization import Tokenizer
+    from ..tokenization.convert import convert_to_byte_level, is_byte_level
+    from .config import TrainingConfig
+    from .engine import Trainer
+
+    train_cfg, data_cfg, hn_cfg = load_configs(config)
+    os.makedirs(train_cfg.output_dir, exist_ok=True)
+
+    model_dir = config["model_dir"]
+    with open(os.path.join(model_dir, "config.json")) as f:
+        bb_config_json = json.load(f)
+    model_type = bb_config_json["model_type"]
+
+    class _Cfg:
+        def __init__(self, d):
+            self.__dict__.update(d)
+
+    _, bb_config = build_model(model_type, hf_config=_Cfg(bb_config_json))
+    bb_params = load_backbone_params(model_dir, model_type, bb_config)
+
+    # reference/source tokenizer, byte-level converted
+    reference = Tokenizer.from_file(os.path.join(model_dir, "tokenizer.json"))
+    if not is_byte_level(reference.to_json()):
+        reference, _ = convert_to_byte_level(reference)
+    hn_tokenizer = reference.copy()
+
+    # hypernet dims follow the backbone embedding dim
+    from ..models.backbones.registry import IN_EMBEDDING_PATHS, get_subtree
+
+    emb = get_subtree(bb_params, IN_EMBEDDING_PATHS[model_type])
+    hn_cfg = dataclasses.replace(
+        hn_cfg,
+        n_embd=int(emb.shape[1]),
+        n_langs=max(len(data_cfg.langs), 1),
+        vocab_size=len(hn_tokenizer) + 256,
+    )
+
+    # datasets + collators
+    batch_size = config.get("batch_size", 128)
+    texts_by_lang = config.get("texts_by_lang")  # in-memory option for tests
+    dataset = TrainDataset(
+        langs=data_cfg.langs,
+        batch_size=batch_size,
+        block_size=data_cfg.block_size,
+        train_directory=config.get("train_directory"),
+        texts_by_lang=texts_by_lang,
+        eos_token=reference.all_special_tokens[0] if reference.all_special_tokens else None,
+    )
+    inner_collator = MLMCollator() if train_cfg.loss == "mlm" else None
+    collator = Collator(
+        reference=reference,
+        hn_tokenizer=hn_tokenizer,
+        data_config=data_cfg,
+        batch_size=batch_size,
+        initial_texts=dataset.get_texts_in_each_language(
+            config.get("n_initial_texts", 256)
+        ),
+        inner_collator=inner_collator,
+        seed=train_cfg.seed,
+    )
+    identity_collator = None
+    if train_cfg.identity_steps > 0:
+        id_data_cfg = dataclasses.replace(
+            data_cfg, do_tokenizer_sampling=False
+        )
+        identity_collator = Collator(
+            reference=reference,
+            hn_tokenizer=hn_tokenizer,
+            data_config=id_data_cfg,
+            batch_size=batch_size,
+            fixed_tokenizer=reference.copy(),
+            lang_code=data_cfg.langs[0],
+            seed=train_cfg.seed,
+        )
+
+    n_devices = len(jax.devices())
+    mesh = None
+    if n_devices > 1:
+        n_model = train_cfg.n_model_parallel
+        mesh = make_mesh(n_data=n_devices // n_model, n_model=n_model)
+
+    vocab_batch = (
+        data_cfg.n_token_subsample
+        if data_cfg.n_token_subsample is not None
+        else data_cfg.tokenizer_sample_max + data_cfg.pad_to_multiple_of
+    )
+    trainer = Trainer(
+        hn_config=hn_cfg,
+        backbone_config=bb_config,
+        backbone_params=bb_params,
+        model_type=model_type,
+        train_config=train_cfg,
+        vocab_batch_size=vocab_batch,
+        mesh=mesh,
+        use_passthrough_hypernet=data_cfg.use_passthrough_hypernet,
+        hn_pad_token_id=hn_cfg.pad_token_id,
+    )
+
+    num_workers = config.get("num_workers", 0)
+    if num_workers > 0:
+        from torch.utils.data import DataLoader
+
+        loader = DataLoader(
+            dataset, batch_size=1, num_workers=num_workers, collate_fn=collator,
+            persistent_workers=True,
+        )
+        batch_iter = iter(loader)
+    else:
+        def _gen():
+            for item in dataset:
+                yield collator([item])
+
+        batch_iter = _gen()
+
+    identity_iter = None
+    if identity_collator is not None:
+        def _id_gen():
+            while True:
+                yield identity_collator(None, for_identity_step=True)
+
+        identity_iter = _id_gen()
+
+    metrics_path = os.path.join(train_cfg.output_dir, "metrics.jsonl")
+
+    def on_log(step, metrics):
+        if jax.process_index() == 0:
+            with open(metrics_path, "a") as f:
+                f.write(json.dumps({"run": run_name, **metrics}) + "\n")
+            print(f"step {step}: " + " ".join(f"{k}={v:.4g}" for k, v in metrics.items()
+                                              if isinstance(v, (int, float))))
+
+    history = trainer.fit(batch_iter, identity_iter, on_log=on_log)
+    trainer.save_checkpoint(os.path.join(train_cfg.output_dir, "final"))
+    hn_tokenizer.save(os.path.join(train_cfg.output_dir, "final", "tokenizer.json"))
+    return trainer, history
+
+
+if __name__ == "__main__":
+    main()

@@ -339,7 +339,8 @@ class Trainer:
         arrays = {
             k: v
             for k, v in batch.items()
-            if hasattr(v, "shape") or isinstance(v, (int, float))
+            if (hasattr(v, "shape") or isinstance(v, (int, float)))
+            and np.asarray(v).dtype.kind in "biuf"  # drop lang_code & friends
         }
         arrays.pop("metrics", None)
         if self.mesh is not None:
