@@ -53,6 +53,11 @@ _lib.uni_score_batch.argtypes = [
     ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
     ctypes.c_void_p,
 ]
+_lib.uni_expected_counts.restype = ctypes.c_double
+_lib.uni_expected_counts.argtypes = [
+    ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+    ctypes.c_void_p, ctypes.c_void_p,
+]
 _lib.count_substrings.restype = ctypes.c_void_p
 _lib.count_substrings.argtypes = [
     ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
@@ -147,6 +152,19 @@ class NativeUnigram:
             self._handle, _ptr(data), _ptr(offsets), len(pretokens), _ptr(out)
         )
         return out
+
+    def expected_counts(
+        self, pretokens: Sequence[bytes], weights: Sequence[float], n_pieces: int
+    ) -> Tuple[np.ndarray, float]:
+        """Forward-backward expected piece counts + total log-likelihood
+        (Unigram-EM E-step)."""
+        data, offsets = _concat_bytes(pretokens)
+        w = np.asarray(weights, dtype=np.float64)
+        counts = np.zeros(n_pieces, dtype=np.float64)
+        ll = _lib.uni_expected_counts(
+            self._handle, _ptr(data), _ptr(offsets), len(pretokens), _ptr(w), _ptr(counts)
+        )
+        return counts, float(ll)
 
 
 def count_substrings_native(

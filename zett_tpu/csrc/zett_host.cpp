@@ -14,6 +14,7 @@
 // globals; handles are not thread-safe individually).
 
 #include <algorithm>
+#include <cmath>
 #include <cstdint>
 #include <cstring>
 #include <limits>
@@ -190,6 +191,75 @@ void uni_score_batch(void* handle, const uint8_t* text, const int64_t* offsets,
     // close enough for scoring (exact per-id score reused)
     out_scores[i] = score;
   }
+}
+
+// Forward-backward expected piece counts (the Unigram-EM E-step; the native
+// replacement for the sentencepiece trainer's inner loop). For each weighted
+// pretoken, accumulates the posterior expected count of every piece into
+// out_counts and returns the total weighted log-likelihood.
+double uni_expected_counts(void* handle, const uint8_t* text,
+                           const int64_t* offsets, int64_t n_pretokens,
+                           const double* weights, double* out_counts) {
+  auto* m = (UnigramModel*)handle;
+  constexpr double NEG = -std::numeric_limits<double>::infinity();
+  double total_ll = 0.0;
+  std::vector<double> alpha, beta;
+  struct Edge { int32_t begin, end, pid; double score; };
+  std::vector<Edge> edges;
+  for (int64_t t = 0; t < n_pretokens; ++t) {
+    const uint8_t* s = text + offsets[t];
+    size_t n = (size_t)(offsets[t + 1] - offsets[t]);
+    if (n == 0) continue;
+    double w = weights[t];
+    edges.clear();
+    for (size_t begin = 0; begin < n; ++begin) {
+      int32_t node = 0;
+      bool has_single = false;
+      size_t max_end = std::min(n, begin + m->max_piece_len);
+      for (size_t end = begin; end < max_end; ++end) {
+        node = m->nodes[node].children[s[end]];
+        if (node < 0) break;
+        int32_t pid = m->nodes[node].piece_id;
+        if (pid >= 0) {
+          if (end == begin) has_single = true;
+          edges.push_back({(int32_t)begin, (int32_t)(end + 1), pid, m->scores[pid]});
+        }
+      }
+      if (!has_single) {
+        edges.push_back({(int32_t)begin, (int32_t)(begin + 1), -1, m->unk_score});
+      }
+    }
+    alpha.assign(n + 1, NEG);
+    beta.assign(n + 1, NEG);
+    alpha[0] = 0.0;
+    auto logadd = [](double a, double b) {
+      if (a == NEG) return b;
+      if (b == NEG) return a;
+      double hi = a > b ? a : b;
+      return hi + std::log(std::exp(a - hi) + std::exp(b - hi));
+    };
+    for (const Edge& e : edges) {
+      // edges are sorted by begin ascending; alpha[e.begin] is final because
+      // every incoming edge into `begin` has begin' < begin
+      if (alpha[e.begin] != NEG)
+        alpha[e.end] = logadd(alpha[e.end], alpha[e.begin] + e.score);
+    }
+    beta[n] = 0.0;
+    for (int64_t i = (int64_t)edges.size() - 1; i >= 0; --i) {
+      const Edge& e = edges[i];
+      if (beta[e.end] != NEG)
+        beta[e.begin] = logadd(beta[e.begin], beta[e.end] + e.score);
+    }
+    double Z = alpha[n];
+    if (Z == NEG) continue;
+    total_ll += w * Z;
+    for (const Edge& e : edges) {
+      if (e.pid < 0 || alpha[e.begin] == NEG || beta[e.end] == NEG) continue;
+      double post = std::exp(alpha[e.begin] + e.score + beta[e.end] - Z);
+      out_counts[e.pid] += w * post;
+    }
+  }
+  return total_ll;
 }
 
 // --------------------------------------------------------------------------
