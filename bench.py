@@ -56,6 +56,7 @@ def bench_retokenize(texts, vocab_size=32768):
     sample_time = time.time() - t0
     pieces = [p for p, _ in sampled]
     scores = [s for _, s in sampled]
+    bench_retokenize.last_vocab = (pieces, scores)
 
     reference = Tokenizer.from_json(
         {
@@ -111,6 +112,51 @@ def bench_retokenize(texts, vocab_size=32768):
     }
 
 
+def bench_device_retokenize(texts, pieces_chars, scores):
+    """On-chip batched Viterbi throughput (BASELINE north star: the
+    retokenization loop runs on-device)."""
+    import numpy as np
+
+    import jax.numpy as jnp
+
+    from zett_tpu.ops.device_viterbi import (
+        DeviceRetokenizer,
+        pack_pretokens,
+        viterbi_device,
+    )
+    from zett_tpu.tokenization.bytemaps import CHARS_TO_BYTES
+    from zett_tpu.tokenization.sampler import pretokenize_bytes
+
+    pieces, pscores = [], []
+    for p, s in zip(pieces_chars, scores):
+        try:
+            raw = bytes(CHARS_TO_BYTES[c] for c in p)
+        except KeyError:
+            continue
+        pieces.append(raw)
+        pscores.append(s)
+
+    pretokens = []
+    for t in texts:
+        pretokens.extend(raw for raw, _ in pretokenize_bytes(t))
+    n_bytes = sum(len(p) for p in pretokens)
+
+    dev = DeviceRetokenizer(pieces, pscores, max_pretoken_len=16)
+    rows, lens = pack_pretokens(pretokens, 16)
+    rows_d, lens_d = jnp.asarray(rows), jnp.asarray(lens)
+    k1, k2, ts, ti = dev._dev_table
+    args = (rows_d, lens_d, k1, k2, ts, ti, dev.unk_score)
+    kw = dict(K=dev.K, n_probes=dev.table.n_probes)
+    best, _, _ = viterbi_device(*args, **kw)
+    best.block_until_ready()  # compile
+    t0 = time.time()
+    for _ in range(10):
+        best, _, _ = viterbi_device(*args, **kw)
+    best.block_until_ready()
+    dt = (time.time() - t0) / 10
+    return {"device_retokenize_bytes_per_s": n_bytes / dt, "n_bytes": n_bytes}
+
+
 def bench_hypernet(vocab=32768, maxlen=16, hidden=768, layers=3):
     import numpy as np
 
@@ -154,6 +200,11 @@ def main():
     texts = make_corpus()
     retok = bench_retokenize(texts)
     try:
+        pieces, scores = bench_retokenize.last_vocab
+        device_retok = bench_device_retokenize(texts[:3000], pieces, scores)
+    except Exception as e:  # noqa: BLE001
+        device_retok = {"device_retokenize_bytes_per_s": None, "error": str(e)}
+    try:
         hyper = bench_hypernet()
     except Exception as e:  # noqa: BLE001 - bench must still print its line
         hyper = {"hypernet_ms_per_32k_vocab": None, "device": f"error: {e}"}
@@ -169,6 +220,11 @@ def main():
         "hypernet_ms_per_32k_vocab": (
             round(hyper["hypernet_ms_per_32k_vocab"], 2)
             if hyper["hypernet_ms_per_32k_vocab"] is not None
+            else None
+        ),
+        "device_retokenize_bytes_per_s": (
+            round(device_retok["device_retokenize_bytes_per_s"], 1)
+            if device_retok.get("device_retokenize_bytes_per_s")
             else None
         ),
         "device": hyper["device"],

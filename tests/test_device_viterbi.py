@@ -1,0 +1,109 @@
+"""Device-side Viterbi: differential vs the native C++ (and Python) models."""
+
+from collections import Counter
+
+import numpy as np
+import pytest
+
+from zett_tpu.csrc import host_lib
+from zett_tpu.ops.device_viterbi import DeviceRetokenizer
+from zett_tpu.tokenization.sampler import TokenizerSampler
+
+pytestmark = pytest.mark.skipif(host_lib is None, reason="native lib required")
+
+
+@pytest.fixture(scope="module")
+def vocab(corpus):
+    sampler = TokenizerSampler()
+    sampled = sampler.sample_tokenizer(
+        {t: 1 for t in corpus if t.strip()}, 3000, 16, 1, 0.0
+    )
+    from zett_tpu.tokenization.bytemaps import CHARS_TO_BYTES
+
+    pieces, scores = [], []
+    for p, s in sampled:
+        try:
+            raw = bytes(CHARS_TO_BYTES[c] for c in p)
+        except KeyError:
+            continue
+        pieces.append(raw)
+        scores.append(s)
+    return pieces, scores
+
+
+@pytest.fixture(scope="module")
+def pretokens(corpus):
+    from zett_tpu.tokenization.sampler import pretokenize_bytes
+
+    out = []
+    for t in corpus:
+        if not t.strip():
+            continue
+        out.extend(raw for raw, _ in pretokenize_bytes(t) if len(raw) <= 48)
+    return out[:2000]
+
+
+def test_device_matches_native(vocab, pretokens):
+    pieces, scores = vocab
+    dev = DeviceRetokenizer(pieces, scores, max_pretoken_len=48)
+    native = host_lib.NativeUnigram(pieces, scores, unk_id=-1)
+    dev_ids = dev.encode(pretokens)
+    nat_ids = native.encode_pretokens(pretokens)
+    n_mismatch = 0
+    for i, (d, nn) in enumerate(zip(dev_ids, nat_ids)):
+        nat = [int(x) for x in nn]
+        if d != nat:
+            n_mismatch += 1
+            if n_mismatch <= 3:
+                print(f"mismatch on {pretokens[i]!r}: device {d} native {nat}")
+    assert n_mismatch == 0, f"{n_mismatch}/{len(pretokens)} segmentation mismatches"
+
+
+def test_device_scores_match_native(vocab, pretokens):
+    pieces, scores = vocab
+    dev = DeviceRetokenizer(pieces, scores, max_pretoken_len=48)
+    native = host_lib.NativeUnigram(pieces, scores, unk_id=-1)
+    dev_scores = dev.best_scores(pretokens[:500])
+    nat_scores = native.score_pretokens(pretokens[:500])
+    np.testing.assert_allclose(dev_scores, nat_scores, rtol=1e-4, atol=1e-4)
+
+
+def test_device_token_counts(vocab, pretokens):
+    pieces, scores = vocab
+    dev = DeviceRetokenizer(pieces, scores, max_pretoken_len=48)
+    counts = dev.token_counts(pretokens[:400])
+    expected = Counter(t for row in dev.encode(pretokens[:400]) for t in row if t >= 0)
+    for pid, c in expected.items():
+        assert counts[pid] == c, f"count mismatch for piece {pid}"
+    assert counts.sum() == sum(expected.values())
+
+
+def test_sharded_counting_psum(vocab, pretokens):
+    """Counts reduce correctly when the batch is sharded over the mesh."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from zett_tpu.ops.device_viterbi import (
+        count_token_usage,
+        pack_pretokens,
+        viterbi_device,
+    )
+    from zett_tpu.parallel import make_mesh
+
+    pieces, scores = vocab
+    dev = DeviceRetokenizer(pieces, scores, max_pretoken_len=48)
+    pts = pretokens[:512]
+    rows, lens = pack_pretokens(pts, 48)
+    mesh = make_mesh(n_data=8, n_model=1)
+    k1, k2, ts, ti = dev._dev_table
+    import jax.numpy as jnp
+
+    rows_s = jax.device_put(jnp.asarray(rows), NamedSharding(mesh, P("data", None)))
+    lens_s = jax.device_put(jnp.asarray(lens), NamedSharding(mesh, P("data")))
+    _, bk, bi = viterbi_device(
+        rows_s, lens_s, k1, k2, ts, ti, dev.unk_score,
+        K=dev.K, n_probes=dev.table.n_probes,
+    )
+    counts = count_token_usage(bk, bi, lens_s, dev.n_pieces)
+    expected = dev.token_counts(pts)
+    np.testing.assert_array_equal(np.asarray(counts), expected)
