@@ -131,17 +131,48 @@ def viterbi_device(
     """Batched Viterbi. Returns (best_scores (B,), back_k (B, L+1) int32,
     back_id (B, L+1) int32) where back_k[j] is the length of the best piece
     ending at j (0 where unreachable)."""
+    S, I = compute_span_scores(
+        rows, lens, keys1, keys2, tscores, tids, unk_score, K, n_probes
+    )
+    B, L = rows.shape
+
+    # DP over positions: dp[j+1..j+K] relax from dp[j]
+    dp0 = jnp.full((B, L + K), NEG, dtype=jnp.float32).at[:, 0].set(0.0)
+    bk0 = jnp.zeros((B, L + K), dtype=jnp.int32)
+    bi0 = jnp.full((B, L + K), -1, dtype=jnp.int32)
+
+    def step(carry, j):
+        dp, bk, bi = carry
+        dj = jax.lax.dynamic_slice(dp, (0, j), (B, 1))  # (B, 1)
+        cand = dj + S[:, j, :]  # spans starting at j  (B, K)
+        window = jax.lax.dynamic_slice(dp, (0, j + 1), (B, K))
+        better = cand > window
+        new_window = jnp.where(better, cand, window)
+        dp = jax.lax.dynamic_update_slice(dp, new_window, (0, j + 1))
+        bk_window = jax.lax.dynamic_slice(bk, (0, j + 1), (B, K))
+        bi_window = jax.lax.dynamic_slice(bi, (0, j + 1), (B, K))
+        bk = jax.lax.dynamic_update_slice(
+            bk, jnp.where(better, jnp.arange(1, K + 1)[None, :], bk_window), (0, j + 1)
+        )
+        bi = jax.lax.dynamic_update_slice(
+            bi, jnp.where(better, I[:, j, :], bi_window), (0, j + 1)
+        )
+        return (dp, bk, bi), None
+
+    (dp, bk, bi), _ = jax.lax.scan(step, (dp0, bk0, bi0), jnp.arange(L))
+    best = jnp.take_along_axis(dp, lens[:, None], axis=1)[:, 0]
+    if not with_backtrack:
+        return best, None, None
+    return best, bk[:, : L + 1], bi[:, : L + 1]
+
+
+def compute_span_scores(rows, lens, keys1, keys2, tscores, tids, unk_score,
+                        K: int, n_probes: int):
+    """Vectorized hash lookup of all (start, len<=K) spans -> (S, I), each
+    (B, L, K): span scores (NEG where absent/invalid) and piece ids."""
     B, L = rows.shape
     M = keys1.shape[0]
-
-    # rolling double fingerprints for spans [i, i+k), k=1..K -> (B, L, K)
-    def roll(carry, b):
-        h1, h2 = carry
-        h1 = h1 * _P1.astype(jnp.uint32) + b.astype(jnp.uint32) + 1
-        h2 = h2 * _P2.astype(jnp.uint32) + b.astype(jnp.uint32) + 1
-        return (h1, h2), None
-
-    # compute H[i, k] iteratively per k: H(:, :, k) built from H(:, :, k-1)
+    # rolling double fingerprints, extended one byte per k iteration
     bytes_u32 = rows.astype(jnp.uint32)
     h1 = jnp.full((B, L), int(_OFF1), dtype=jnp.uint32)
     h2 = jnp.full((B, L), int(_OFF2), dtype=jnp.uint32)
@@ -185,34 +216,24 @@ def viterbi_device(
     S = jnp.where(valid, S, NEG)
     S = jnp.where(single & (S <= NEG / 2), unk_score, S)
     I = jnp.where(single & (I < 0), -2, I)  # -2 marks unk bytes
+    return S, I
 
-    # DP over positions: dp[j+1..j+K] relax from dp[j]
-    dp0 = jnp.full((B, L + K), NEG, dtype=jnp.float32).at[:, 0].set(0.0)
-    bk0 = jnp.zeros((B, L + K), dtype=jnp.int32)
-    bi0 = jnp.full((B, L + K), -1, dtype=jnp.int32)
 
-    def step(carry, j):
-        dp, bk, bi = carry
-        dj = jax.lax.dynamic_slice(dp, (0, j), (B, 1))  # (B, 1)
-        cand = dj + S[:, j, :]  # wait: S indexed by start j  (B, K)
-        window = jax.lax.dynamic_slice(dp, (0, j + 1), (B, K))
-        better = cand > window
-        new_window = jnp.where(better, cand, window)
-        dp = jax.lax.dynamic_update_slice(dp, new_window, (0, j + 1))
-        bk_window = jax.lax.dynamic_slice(bk, (0, j + 1), (B, K))
-        bi_window = jax.lax.dynamic_slice(bi, (0, j + 1), (B, K))
-        bk = jax.lax.dynamic_update_slice(
-            bk, jnp.where(better, jnp.arange(1, K + 1)[None, :], bk_window), (0, j + 1)
-        )
-        bi = jax.lax.dynamic_update_slice(
-            bi, jnp.where(better, I[:, j, :], bi_window), (0, j + 1)
-        )
-        return (dp, bk, bi), None
+@partial(jax.jit, static_argnames=("K", "n_probes", "tile_b"))
+def viterbi_device_pallas(
+    rows, lens, keys1, keys2, tscores, tids, unk_score,
+    K: int = 16, n_probes: int = 8, tile_b: int = 256,
+):
+    """Same contract as viterbi_device but with the DP phase as a Pallas
+    kernel (dp/backpointers resident in VMEM, one launch per batch tile)."""
+    from .pallas_viterbi import viterbi_dp_pallas
 
-    (dp, bk, bi), _ = jax.lax.scan(step, (dp0, bk0, bi0), jnp.arange(L))
+    S, I = compute_span_scores(
+        rows, lens, keys1, keys2, tscores, tids, unk_score, K, n_probes
+    )
+    L = rows.shape[1]
+    dp, bk, bi = viterbi_dp_pallas(S, I, tile_b=tile_b)
     best = jnp.take_along_axis(dp, lens[:, None], axis=1)[:, 0]
-    if not with_backtrack:
-        return best, None, None
     return best, bk[:, : L + 1], bi[:, : L + 1]
 
 
