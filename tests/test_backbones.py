@@ -110,6 +110,21 @@ def test_xlmr_logits_match_hf(rng_ids):
     _compare("xlm-roberta", model, hf_config, rng_ids, attention_mask=mask)
 
 
+def test_xglm_logits_match_hf(rng_ids):
+    import torch
+    from transformers import XGLMConfig, XGLMForCausalLM
+
+    hf_config = XGLMConfig(
+        vocab_size=128, d_model=32, ffn_dim=64, num_layers=2, attention_heads=4,
+        max_position_embeddings=64, dropout=0.0, attention_dropout=0.0,
+        activation_dropout=0.0, layerdrop=0.0,
+    )
+    torch.manual_seed(0)
+    model = XGLMForCausalLM(hf_config).eval()
+    ids = np.clip(rng_ids, 2, None)
+    _compare("xglm", model, hf_config, ids, atol=5e-4)
+
+
 def test_embedding_paths_resolve(rng_ids):
     from transformers import GPT2Config
 

@@ -208,6 +208,33 @@ def convert_roberta(sd: Dict[str, np.ndarray], config) -> dict:
     return _nest(flat)
 
 
+def convert_xglm(sd: Dict[str, np.ndarray], config) -> dict:
+    flat: Dict[str, np.ndarray] = {}
+    for k, v in sd.items():
+        if k == "model.embed_tokens.weight":
+            flat["model/embed_tokens/embedding"] = v
+        elif k == "model.layer_norm.weight":
+            flat["model/layer_norm/scale"] = v
+        elif k == "model.layer_norm.bias":
+            flat["model/layer_norm/bias"] = v
+        elif k == "lm_head.weight" or "embed_positions" in k:
+            continue  # tied head / sinusoidal table recomputed
+        elif k.startswith("model.layers."):
+            parts = k.split(".")
+            i = parts[2]
+            rest = parts[3:]
+            base = f"model/layers_{i}"
+            if rest[0] == "self_attn":
+                is_w = rest[2] == "weight"
+                flat[f"{base}/{rest[1]}/{'kernel' if is_w else 'bias'}"] = v.T if is_w else v
+            elif rest[0] in ("self_attn_layer_norm", "final_layer_norm"):
+                flat[f"{base}/{rest[0]}/{'scale' if rest[1] == 'weight' else 'bias'}"] = v
+            elif rest[0] in ("fc1", "fc2"):
+                is_w = rest[1] == "weight"
+                flat[f"{base}/{rest[0]}/{'kernel' if is_w else 'bias'}"] = v.T if is_w else v
+    return _nest(flat)
+
+
 CONVERTERS = {
     "gpt2": convert_gpt2,
     "llama": convert_llama,
@@ -215,6 +242,7 @@ CONVERTERS = {
     "gemma": convert_llama,
     "roberta": convert_roberta,
     "xlm-roberta": convert_roberta,
+    "xglm": convert_xglm,
 }
 
 

@@ -21,6 +21,20 @@ import sys
 import numpy as np
 
 
+def load_config_file(path: str) -> dict:
+    """Load a JSON config, resolving the `_base` inheritance chain (each
+    config in configs/ is a small diff from a base — reference §5.6)."""
+    with open(path) as f:
+        config = json.load(f)
+    base_name = config.pop("_base", None)
+    config.pop("_diff_note", None)
+    if base_name:
+        base = load_config_file(os.path.join(os.path.dirname(path), base_name))
+        base.update(config)
+        config = base
+    return config
+
+
 def load_configs(config: dict):
     from ..data import DataConfig
     from ..models import HypernetConfig
@@ -36,8 +50,7 @@ def load_configs(config: dict):
 def main(argv=None):
     argv = argv if argv is not None else sys.argv[1:]
     if len(argv) == 1 and argv[0].endswith(".json"):
-        with open(argv[0]) as f:
-            config = json.load(f)
+        config = load_config_file(argv[0])
         run_name = os.path.splitext(os.path.basename(argv[0]))[0]
     else:
         p = argparse.ArgumentParser(description=__doc__)

@@ -355,6 +355,8 @@ class Trainer:
         identity_iterator: Optional[Iterator[Dict[str, Any]]] = None,
         eval_fn: Optional[Callable[["Trainer"], Dict[str, float]]] = None,
         on_log: Optional[Callable[[int, Dict[str, float]], None]] = None,
+        resume_step: int = 0,
+        do_replay: bool = True,
     ):
         cfg = self.cfg
         history = []
@@ -363,6 +365,16 @@ class Trainer:
         total_micro_steps = cfg.steps * cfg.gradient_accumulation_steps
         for micro_step in range(total_micro_steps):
             step = micro_step // cfg.gradient_accumulation_steps
+            if step < resume_step:
+                # data-position recovery is replay-based (reference do_replay,
+                # train.py:1426,1457-1479): pull and drop batches so the
+                # stream resumes where the checkpoint left off
+                if do_replay:
+                    if step < cfg.identity_steps and identity_iterator is not None:
+                        next(identity_iterator)
+                    else:
+                        next(batch_iterator)
+                continue
             if step < cfg.identity_steps and identity_iterator is not None:
                 batch = next(identity_iterator)
                 self.state, metrics = self.identity_train_step(
@@ -396,9 +408,13 @@ class Trainer:
         return history
 
     # ------------------------------------------------------------ checkpoints
-    def save_checkpoint(self, path: str):
+    def save_checkpoint(self, path: str, full_state: bool = False):
         """Sharding-aware checkpoint via orbax (SURVEY §5.4 TPU-native
-        equivalent — no host-local gather / combine step needed)."""
+        equivalent — no host-local gather / combine step needed).
+
+        Default saves the hypernet params (the transfer artifact); with
+        full_state=True the optimizer state, step and rngs are saved too so
+        training can resume exactly (reference state.msgpack semantics)."""
         import orbax.checkpoint as ocp
 
         os.makedirs(path, exist_ok=True)
@@ -408,11 +424,27 @@ class Trainer:
             jax.tree_util.tree_map(np.asarray, self.state.params["hypernet"]),
             force=True,
         )
+        if full_state:
+            resume = {
+                "opt_state": self.state.opt_state,
+                "step": np.asarray(self.state.step),
+                "dropout_rng": np.asarray(self.state.dropout_rng),
+            }
+            if self.cfg.backbone_training == "full":
+                resume["inner"] = self.state.params["inner"]
+            ckptr.save(
+                os.path.abspath(os.path.join(path, "resume")),
+                jax.tree_util.tree_map(np.asarray, resume),
+                force=True,
+            )
         ckptr.wait_until_finished()
         with open(os.path.join(path, "hn_config.json"), "w") as f:
             json.dump(self.hn_config.to_dict(), f, indent=2)
 
-    def restore_checkpoint(self, path: str):
+    def restore_checkpoint(self, path: str, reset_steps: bool = False):
+        """Restore hypernet params (+ optimizer/step/rng when a full-state
+        `resume` dir exists; reset_steps re-zeroes the step like the
+        reference's resume_from_checkpoint_reset_steps, train.py:780-784)."""
         import orbax.checkpoint as ocp
 
         ckptr = ocp.StandardCheckpointer()
@@ -421,3 +453,26 @@ class Trainer:
         params = dict(self.state.params)
         params["hypernet"] = jax.tree_util.tree_map(jnp.asarray, restored)
         self.state = self.state.replace(params=params)
+
+        resume_path = os.path.join(path, "resume")
+        if os.path.exists(resume_path) and not reset_steps:
+            resume_target = {
+                "opt_state": jax.tree_util.tree_map(np.asarray, self.state.opt_state),
+                "step": np.asarray(self.state.step),
+                "dropout_rng": np.asarray(self.state.dropout_rng),
+            }
+            if self.cfg.backbone_training == "full":
+                resume_target["inner"] = jax.tree_util.tree_map(
+                    np.asarray, self.state.params["inner"]
+                )
+            restored = ckptr.restore(os.path.abspath(resume_path), resume_target)
+            if "inner" in restored:
+                params = dict(self.state.params)
+                params["inner"] = jax.tree_util.tree_map(jnp.asarray, restored["inner"])
+                self.state = self.state.replace(params=params)
+            self.state = self.state.replace(
+                opt_state=jax.tree_util.tree_map(jnp.asarray, restored["opt_state"]),
+                step=jnp.asarray(restored["step"]),
+                dropout_rng=jnp.asarray(restored["dropout_rng"]),
+            )
+        return int(self.state.step)
