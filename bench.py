@@ -86,18 +86,22 @@ def bench_retokenize(texts, vocab_size=32768):
     fast = fast_encoder_or_none(ours)
     if fast is not None:
         fast.encode_batch(texts[:64], add_special_tokens=False)  # warm cache build
-        t0 = time.time()
-        ids_arr, mask_arr = fast.encode_batch(texts, add_special_tokens=False)
-        our_time = time.time() - t0
+        our_time = float("inf")
+        for _ in range(3):  # best-of-3: the shared host is noisy
+            t0 = time.time()
+            ids_arr, mask_arr = fast.encode_batch(texts, add_special_tokens=False)
+            our_time = min(our_time, time.time() - t0)
         our_ids = [list(ids_arr[i][mask_arr[i] == 1]) for i in range(len(texts))]
     else:
         t0 = time.time()
         our_ids = [e.ids for e in ours.encode_batch(texts, add_special_tokens=False)]
         our_time = time.time() - t0
 
-    t0 = time.time()
-    hf_encodings = hf.encode_batch(texts, add_special_tokens=False)
-    hf_time = time.time() - t0
+    hf_time = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        hf_encodings = hf.encode_batch(texts, add_special_tokens=False)
+        hf_time = min(hf_time, time.time() - t0)
 
     n_match = sum(1 for a, b in zip(our_ids, hf_encodings) if list(a) == b.ids)
     exact_match = n_match / len(texts)

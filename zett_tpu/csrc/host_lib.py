@@ -49,6 +49,11 @@ _lib.uni_encode_batch.argtypes = [
     ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
     ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
 ]
+_lib.uni_encode_batch_threaded.restype = ctypes.c_int64
+_lib.uni_encode_batch_threaded.argtypes = [
+    ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+    ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_int32,
+]
 _lib.uni_score_batch.argtypes = [
     ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
     ctypes.c_void_p,
@@ -132,15 +137,20 @@ class NativeUnigram:
         splits = np.cumsum(out_lens[:-1])
         return np.split(out_ids[:total], splits)
 
-    def encode_flat(self, pretokens: Sequence[bytes]) -> Tuple[np.ndarray, np.ndarray]:
-        """Returns (flat_ids, lens) without per-pretoken splitting."""
+    def encode_flat(
+        self, pretokens: Sequence[bytes], n_threads: int = 0
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Returns (flat_ids, lens) without per-pretoken splitting. With
+        n_threads=0 the thread count is chosen from the CPU count."""
         data, offsets = _concat_bytes(pretokens)
         cap = max(int(offsets[-1]), 1)
         out_ids = np.empty(cap, dtype=np.int32)
         out_lens = np.empty(len(pretokens), dtype=np.int32)
-        total = _lib.uni_encode_batch(
+        if n_threads == 0:
+            n_threads = min(os.cpu_count() or 1, 8)
+        total = _lib.uni_encode_batch_threaded(
             self._handle, _ptr(data), _ptr(offsets), len(pretokens),
-            _ptr(out_ids), cap, _ptr(out_lens),
+            _ptr(out_ids), cap, _ptr(out_lens), n_threads,
         )
         assert total >= 0, "output capacity exceeded"
         return out_ids[:total], out_lens

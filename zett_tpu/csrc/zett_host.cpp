@@ -19,6 +19,7 @@
 #include <cstring>
 #include <limits>
 #include <string>
+#include <thread>
 #include <unordered_map>
 #include <vector>
 
@@ -136,6 +137,58 @@ static size_t uni_viterbi(UnigramModel* m, const uint8_t* s, size_t n,
   }
   std::reverse(out.begin() + start_size, out.end());
   return out.size() - start_size;
+}
+
+// Threaded batch encode: pretokens are independent, so shards run on
+// worker threads with thread-local memo caches; results are stitched with a
+// prefix-sum pass. Returns total ids written, or -1 on insufficient capacity.
+int64_t uni_encode_batch_threaded(void* handle, const uint8_t* text,
+                                  const int64_t* offsets, int64_t n_pretokens,
+                                  int32_t* out_ids, int64_t out_cap,
+                                  int32_t* out_lens, int32_t n_threads) {
+  auto* m = (UnigramModel*)handle;
+  if (n_threads <= 1 || n_pretokens < 1024) n_threads = 1;
+  std::vector<std::vector<int32_t>> results((size_t)n_threads);
+  std::vector<std::thread> workers;
+  int64_t chunk = (n_pretokens + n_threads - 1) / n_threads;
+  auto work = [&](int t) {
+    std::unordered_map<std::string, std::vector<int32_t>> cache;
+    std::vector<int32_t>& out = results[(size_t)t];
+    std::vector<int32_t> buf;
+    std::string key;
+    int64_t lo = t * chunk, hi = std::min(n_pretokens, (t + 1) * chunk);
+    for (int64_t i = lo; i < hi; ++i) {
+      const uint8_t* s = text + offsets[i];
+      size_t n = (size_t)(offsets[i + 1] - offsets[i]);
+      key.assign((const char*)s, n);
+      auto it = cache.find(key);
+      const std::vector<int32_t>* ids;
+      if (it != cache.end()) {
+        ids = &it->second;
+      } else {
+        buf.clear();
+        uni_viterbi(m, s, n, buf);
+        ids = &cache.emplace(std::move(key), buf).first->second;
+      }
+      out_lens[i] = (int32_t)ids->size();
+      out.insert(out.end(), ids->begin(), ids->end());
+    }
+  };
+  if (n_threads == 1) {
+    work(0);
+  } else {
+    for (int t = 0; t < n_threads; ++t) workers.emplace_back(work, t);
+    for (auto& w : workers) w.join();
+  }
+  int64_t total = 0;
+  for (auto& r : results) total += (int64_t)r.size();
+  if (total > out_cap) return -1;
+  int64_t pos = 0;
+  for (auto& r : results) {
+    std::memcpy(out_ids + pos, r.data(), r.size() * sizeof(int32_t));
+    pos += (int64_t)r.size();
+  }
+  return total;
 }
 
 // Encode a batch of pretokens (concatenated bytes + offsets). Writes ids to

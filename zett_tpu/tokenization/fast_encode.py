@@ -97,44 +97,61 @@ class FastUnigramEncoder:
         """Returns (input_ids, attention_mask) int32 arrays. With max_length
         set, output is truncated+padded to (n_texts, max_length); otherwise
         arrays are padded to the longest sequence."""
+        findall = self._rx.findall
+        prepend = self.prepend
         pretokens: List[bytes] = []
-        text_spans: List[Tuple[int, int]] = []
-        for text in texts:
-            if self.prepend and text:
-                text = self.prepend + text
-            start = len(pretokens)
-            for m in self._rx.finditer(text):
-                pretokens.append(m.group().encode("utf-8"))
-            text_spans.append((start, len(pretokens)))
+        counts = np.empty(len(texts), dtype=np.int64)
+        for i, text in enumerate(texts):
+            if prepend and text:
+                text = prepend + text
+            pieces = findall(text)
+            pretokens.extend(p.encode("utf-8") for p in pieces)
+            counts[i] = len(pieces)
 
         flat_ids, lens = self._native.encode_flat(pretokens)
         flat_ids = self._id_map[flat_ids]  # re-map trie ids -> vocab ids
-        ends = np.cumsum(lens)
-        starts = ends - lens
 
-        prefix = self.prefix_ids if add_special_tokens else []
-        suffix = self.suffix_ids if add_special_tokens else []
-        seqs: List[np.ndarray] = []
-        for s, e in text_spans:
-            if e > s:
-                ids = flat_ids[starts[s]: ends[e - 1]]
-            else:
-                ids = np.empty(0, dtype=np.int32)
-            if prefix or suffix:
-                ids = np.concatenate([
-                    np.asarray(prefix, dtype=np.int32), ids,
-                    np.asarray(suffix, dtype=np.int32),
-                ])
-            if max_length is not None and len(ids) > max_length:
-                ids = ids[:max_length]
-            seqs.append(ids)
+        # tokens per text: sum pretoken token-lens over each text's span
+        pre_ends = np.cumsum(counts)
+        bounds = np.concatenate([[0], pre_ends])
+        tok_cum = np.concatenate([[0], np.cumsum(lens, dtype=np.int64)])
+        text_tok_starts = tok_cum[bounds[:-1]]
+        text_tok_ends = tok_cum[bounds[1:]]
+        tokens_per_text = (text_tok_ends - text_tok_starts).astype(np.int64)
 
-        width = max_length if max_length is not None else max((len(x) for x in seqs), default=0)
+        prefix = np.asarray(self.prefix_ids if add_special_tokens else [], dtype=np.int32)
+        suffix = np.asarray(self.suffix_ids if add_special_tokens else [], dtype=np.int32)
+        np_, ns = len(prefix), len(suffix)
+        total_per_text = tokens_per_text + np_ + ns
+        if max_length is not None:
+            final_per_text = np.minimum(total_per_text, max_length)
+            width = max_length
+        else:
+            final_per_text = total_per_text
+            width = int(final_per_text.max()) if len(texts) else 0
+
         out = np.full((len(texts), width), pad_id, dtype=np.int32)
-        mask = np.zeros((len(texts), width), dtype=np.int32)
-        for i, ids in enumerate(seqs):
-            out[i, : len(ids)] = ids
-            mask[i, : len(ids)] = 1
+        # scatter body tokens: each token's (row, col) in one fancy store
+        rows = np.repeat(np.arange(len(texts)), tokens_per_text)
+        cols = (
+            np.arange(len(flat_ids), dtype=np.int64)
+            - np.repeat(text_tok_starts, tokens_per_text)
+            + np_
+        )
+        keep = cols < width - (ns if max_length is not None else 0) if ns else cols < width
+        if max_length is not None and ns:
+            # reserve room for the suffix under truncation
+            keep = cols < np.repeat(final_per_text - ns, tokens_per_text)
+        out[rows[keep], cols[keep]] = flat_ids[keep]
+        if np_:
+            out[:, :np_] = prefix[None, :]
+        if ns:
+            suffix_start = final_per_text - ns
+            for k in range(ns):
+                out[np.arange(len(texts)), np.minimum(suffix_start + k, width - 1)] = suffix[k]
+        mask = (
+            np.arange(width)[None, :] < final_per_text[:, None]
+        ).astype(np.int32)
         return out, mask
 
 
