@@ -19,17 +19,30 @@ def eval_loop(
     eval_batches: Iterable[dict],
     name: str = "eval",
     max_batches: Optional[int] = None,
+    fixed_tokenizer: bool = False,
 ) -> Dict[str, float]:
+    """With fixed_tokenizer=True the hypernet's vocab forward runs once on
+    the first batch and is reused (the tokenizer — hence surface forms and
+    priors — does not change across batches; reference train.py:1354-1358)."""
     sums: Dict[str, float] = defaultdict(float)
     counts: Dict[str, int] = defaultdict(int)
     per_lang: Dict[str, Dict[str, float]] = defaultdict(lambda: defaultdict(float))
     per_lang_counts: Dict[str, int] = defaultdict(int)
+    cached_embeddings = None
 
     for i, batch in enumerate(eval_batches):
         if max_batches is not None and i >= max_batches:
             break
         lang = batch.get("lang_code") or "all"
-        metrics = trainer.eval_step(trainer.state, trainer._device_batch(batch))
+        device_batch = trainer._device_batch(batch)
+        if fixed_tokenizer:
+            if cached_embeddings is None:
+                cached_embeddings = trainer.compute_embeddings(trainer.state, device_batch)
+            metrics = trainer.eval_step_cached(
+                trainer.state, device_batch, *cached_embeddings
+            )
+        else:
+            metrics = trainer.eval_step(trainer.state, device_batch)
         for k, v in metrics.items():
             v = float(v)
             sums[k] += v

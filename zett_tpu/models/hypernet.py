@@ -62,6 +62,11 @@ class HypernetConfig:
     single_head: bool = False
     predict_bias: bool = True
     concat_last_hidden_state: bool = False
+    # "absolute" (roberta-style learned positions) or "relative" (t5-style
+    # bucketed relative attention bias — the hn_model_type="t5" equivalent)
+    position_embedding_type: str = "absolute"
+    relative_attention_num_buckets: int = 32
+    relative_attention_max_distance: int = 128
 
     def to_dict(self) -> Dict[str, Any]:
         return dataclasses.asdict(self)
@@ -147,6 +152,7 @@ class Attention(nn.Module):
         attention_mask=None,
         key_value_states=None,
         attention_bias=None,
+        position_bias=None,
         deterministic: bool = True,
     ):
         cfg = self.config
@@ -163,6 +169,8 @@ class Attention(nn.Module):
             )
         elif attention_bias is not None:
             bias = attention_bias[:, None, None, :]
+        if position_bias is not None:  # (1, heads, Lq, Lk) relative bias
+            bias = position_bias if bias is None else bias + position_bias
 
         rng = self.make_rng("dropout") if not deterministic else None
         out = _attention(
@@ -187,11 +195,13 @@ class EncoderLayer(nn.Module):
         target_priors=None,
         inter_token_blocks=None,
         lang_index=None,
+        position_bias=None,
         deterministic: bool = True,
     ):
         cfg = self.config
         attn_out = Attention(cfg, dtype=self.dtype, name="attention")(
-            hidden_states, attention_mask=attention_mask, deterministic=deterministic
+            hidden_states, attention_mask=attention_mask,
+            position_bias=position_bias, deterministic=deterministic,
         )
         attn_out = nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="attention_ln")(
             attn_out + hidden_states
@@ -255,6 +265,24 @@ class EncoderLayer(nn.Module):
         return h
 
 
+def _relative_position_bucket(relative_position, num_buckets=32, max_distance=128):
+    """T5 bidirectional relative-position bucketing."""
+    import numpy as _np
+
+    num_buckets = num_buckets // 2
+    ret = (relative_position > 0).astype(jnp.int32) * num_buckets
+    n = jnp.abs(relative_position)
+    max_exact = num_buckets // 2
+    is_small = n < max_exact
+    val_if_large = max_exact + (
+        jnp.log(n.astype(jnp.float32) / max_exact + 1e-6)
+        / _np.log(max_distance / max_exact)
+        * (num_buckets - max_exact)
+    ).astype(jnp.int32)
+    val_if_large = jnp.minimum(val_if_large, num_buckets - 1)
+    return ret + jnp.where(is_small, n, val_if_large)
+
+
 class HypernetEncoder(nn.Module):
     """Embeddings (+prior/lang extra tokens) and the layer stack."""
 
@@ -279,12 +307,15 @@ class HypernetEncoder(nn.Module):
                 dtype=self.dtype, name="word_embeddings",
             )(input_ids.astype("i4"))
         L = inputs_embeds.shape[1]
-        position_embeds = self.param(
-            "position_embeddings",
-            jax.nn.initializers.normal(cfg.initializer_range),
-            (cfg.max_position_embeddings, cfg.hidden_size), self.dtype,
-        )
-        hidden = inputs_embeds + position_embeds[None, :L]
+        if cfg.position_embedding_type == "absolute":
+            position_embeds = self.param(
+                "position_embeddings",
+                jax.nn.initializers.normal(cfg.initializer_range),
+                (cfg.max_position_embeddings, cfg.hidden_size), self.dtype,
+            )
+            hidden = inputs_embeds + position_embeds[None, :L]
+        else:
+            hidden = inputs_embeds
 
         if cfg.embed_target_priors:
             prior_tok = nn.Dense(cfg.hidden_size, dtype=self.dtype, name="prior_projection")(
@@ -324,12 +355,30 @@ class HypernetEncoder(nn.Module):
         else:
             inter_token_blocks = None
 
+        position_bias = None
+        if cfg.position_embedding_type == "relative":
+            # t5-style bucketed relative attention bias, shared by all layers
+            Lx = hidden.shape[1]
+            rel_table = self.param(
+                "relative_attention_bias",
+                jax.nn.initializers.normal(cfg.initializer_range),
+                (cfg.relative_attention_num_buckets, cfg.num_attention_heads),
+                self.dtype,
+            )
+            buckets = _relative_position_bucket(
+                jnp.arange(Lx)[None, :] - jnp.arange(Lx)[:, None],
+                cfg.relative_attention_num_buckets,
+                cfg.relative_attention_max_distance,
+            )
+            position_bias = jnp.transpose(rel_table[buckets], (2, 0, 1))[None]
+
         for i in range(cfg.num_hidden_layers):
             hidden = EncoderLayer(cfg, dtype=self.dtype, name=f"layer_{i}")(
                 hidden, attention_mask,
                 target_priors=target_priors,
                 inter_token_blocks=inter_token_blocks,
                 lang_index=lang_index,
+                position_bias=position_bias,
                 deterministic=deterministic,
             )
         return hidden

@@ -206,6 +206,57 @@ def run_training(config: dict, run_name: str = "run"):
 
         identity_iter = _id_gen()
 
+    # extra validation: fixed tokenizers evaluated with cached embeddings
+    # (reference extra_valid dataloaders, train.py:522-555)
+    eval_fn = None
+    valid_dir = config.get("valid_directory")
+    extra_valid_tokenizers = config.get("extra_valid_tokenizers", [])
+    if valid_dir or config.get("valid_texts_by_lang"):
+        from ..data import ValidDataset
+        from ..evaluation import eval_loop
+
+        valid_ds = ValidDataset(
+            langs=data_cfg.langs,
+            batch_size=batch_size,
+            n_subsample=config.get("n_valid_subsample", 64),
+            valid_directory=valid_dir,
+            texts_by_lang=config.get("valid_texts_by_lang"),
+        )
+        extra_collators = []
+        for tok_path in extra_valid_tokenizers:
+            fixed_tok = Tokenizer.from_file(
+                os.path.join(tok_path, "tokenizer.json")
+                if os.path.isdir(tok_path) else tok_path
+            )
+            fixed_cfg = dataclasses.replace(data_cfg, do_tokenizer_sampling=False)
+            extra_collators.append(
+                (os.path.basename(tok_path.rstrip("/")), Collator(
+                    reference=reference, hn_tokenizer=hn_tokenizer,
+                    data_config=fixed_cfg, batch_size=batch_size,
+                    fixed_tokenizer=fixed_tok, is_validation=True,
+                    seed=train_cfg.seed,
+                ))
+            )
+        valid_collator = Collator(
+            reference=reference, hn_tokenizer=hn_tokenizer, data_config=data_cfg,
+            batch_size=batch_size,
+            initial_texts={lang: list(valid_ds.dataset[lang][:64]) for lang in data_cfg.langs},
+            is_validation=True, seed=train_cfg.seed + 1,
+        )
+
+        def eval_fn(tr):
+            out = {}
+            for name, coll in extra_collators:
+                out.update(eval_loop(
+                    tr, (coll([valid_ds[i]]) for i in range(len(valid_ds))),
+                    name=f"eval_{name}", fixed_tokenizer=True,
+                ))
+            out.update(eval_loop(
+                tr, (valid_collator([valid_ds[i]]) for i in range(len(valid_ds))),
+                name="eval",
+            ))
+            return out
+
     metrics_path = os.path.join(train_cfg.output_dir, "metrics.jsonl")
 
     def on_log(step, metrics):
@@ -215,7 +266,9 @@ def run_training(config: dict, run_name: str = "run"):
             print(f"step {step}: " + " ".join(f"{k}={v:.4g}" for k, v in metrics.items()
                                               if isinstance(v, (int, float))))
 
-    history = trainer.fit(batch_iter, identity_iter, on_log=on_log)
+    if train_cfg.eval_at_step_zero and eval_fn is not None:
+        on_log(0, eval_fn(trainer))
+    history = trainer.fit(batch_iter, identity_iter, eval_fn=eval_fn, on_log=on_log)
     trainer.save_checkpoint(os.path.join(train_cfg.output_dir, "final"))
     hn_tokenizer.save(os.path.join(train_cfg.output_dir, "final", "tokenizer.json"))
     return trainer, history

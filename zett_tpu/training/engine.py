@@ -207,7 +207,7 @@ class Trainer:
             src_out = state.source_embeddings[:, n_embd:] if not out_tied else None
             return src_in, src_out
 
-        def compute_embeddings_and_logits(state, params, batch, dropout_rng):
+        def compute_embeddings(state, params, batch, dropout_rng):
             src_in, src_out = split_source(state)
             emb_in, emb_out, biases = hypernet.apply(
                 {"params": params["hypernet"]},
@@ -226,6 +226,9 @@ class Trainer:
                     emb_out = emb_out.at[batch["special_indices"]].set(
                         src_out[batch["special_indices_in_reference"]].astype(emb_out.dtype)
                     )
+            return emb_in, emb_out, biases
+
+        def splice_and_logits(params, batch, emb_in, emb_out, biases):
             spliced = splice_embeddings(
                 params["inner"], model_type, emb_in,
                 emb_out if not out_tied else None,
@@ -240,6 +243,11 @@ class Trainer:
                 logits = logits + biases[None, None, :]
             if cfg.add_target_priors_to_bias:
                 logits = logits + batch["target_priors"][None, None, :]
+            return logits
+
+        def compute_embeddings_and_logits(state, params, batch, dropout_rng):
+            emb_in, emb_out, biases = compute_embeddings(state, params, batch, dropout_rng)
+            logits = splice_and_logits(params, batch, emb_in, emb_out, biases)
             return emb_in, emb_out, logits
 
         def train_step(state, batch):
@@ -329,10 +337,37 @@ class Trainer:
             ).sum() / jnp.maximum(label_mask.sum(), 1)
             return {"eval_loss": loss, "eval_accuracy": acc}
 
+        def eval_metrics_from_logits(logits, batch):
+            logits = logits.astype(jnp.float32)
+            if cfg.loss == "clm":
+                loss, bpb = lm_loss(
+                    logits, batch["labels"], batch["attention_mask"], "clm",
+                    byte_lengths=batch["byte_lengths"], with_bpb=True,
+                )
+                return {"eval_loss": loss, "eval_bpb": bpb}
+            loss = lm_loss(logits, batch["labels"], batch["attention_mask"], "mlm")
+            label_mask = (batch["labels"] != -100) & (batch["attention_mask"] == 1)
+            acc = (
+                (logits.argmax(-1) == batch["labels"]) & label_mask
+            ).sum() / jnp.maximum(label_mask.sum(), 1)
+            return {"eval_loss": loss, "eval_accuracy": acc}
+
+        def eval_step_cached(state, batch, emb_in, emb_out, biases):
+            """Eval with precomputed hypernet embeddings — the fixed-tokenizer
+            eval loop computes the vocab forward ONCE and reuses it across
+            batches (reference: train.py:1354-1358)."""
+            logits = splice_and_logits(state.params, batch, emb_in, emb_out, biases)
+            return eval_metrics_from_logits(logits, batch)
+
+        def compute_embeddings_jit(state, batch):
+            return compute_embeddings(state, state.params, batch, state.dropout_rng)
+
         donate = (0,)
         self.train_step = jax.jit(train_step, donate_argnums=donate)
         self.identity_train_step = jax.jit(identity_train_step, donate_argnums=donate)
         self.eval_step = jax.jit(eval_step)
+        self.eval_step_cached = jax.jit(eval_step_cached)
+        self.compute_embeddings = jax.jit(compute_embeddings_jit)
 
     # ------------------------------------------------------------------- loop
     def _device_batch(self, batch: Dict[str, Any]) -> Dict[str, Any]:
