@@ -32,9 +32,9 @@ def make_tiny_trainer(**train_kw):
     )
 
 
-def make_batch(seed=0):
+def make_batch(seed=0, B=2):
     rng = np.random.default_rng(seed)
-    B, L, V, M = 2, 16, V_BATCH, 8
+    L, V, M = 16, V_BATCH, 8
     return {
         "input_ids": rng.integers(0, V, size=(B, L)).astype(np.int32),
         "attention_mask": np.ones((B, L), dtype=np.int32),

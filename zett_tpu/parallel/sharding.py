@@ -153,6 +153,23 @@ BACKBONE_RULES["mistral"] = BACKBONE_RULES["llama"]
 BACKBONE_RULES["gemma"] = BACKBONE_RULES["llama"]
 BACKBONE_RULES["roberta"] = BACKBONE_RULES["xlm-roberta"]
 
+
+def fsdp_rules(model_type: str) -> List[Rule]:
+    """Fully-sharded variant for 7B+ backbones (SURVEY §2.3: optional FSDP
+    axis): tensor-parallel kernels keep their "model" axis and additionally
+    shard the other kernel dimension over "data", so every large kernel is
+    fully sharded across the whole mesh."""
+    out: List[Rule] = []
+    for pattern, spec in BACKBONE_RULES.get(model_type, []):
+        dims = list(spec)
+        fsdp_spec = ["data" if d is None else d for d in dims]
+        out.append((pattern, P(*fsdp_spec)))
+    # embeddings: rows over data (vocab axis is large)
+    out.append((("embed_tokens", "embedding"), P("data", None)))
+    out.append((("wte", "embedding"), P("data", None)))
+    out.append((("word_embeddings", "embedding"), P("data", None)))
+    return out
+
 # source embeddings: vocab rows over "model" (reference:
 # zett/model/__init__.py:46 'source_embeddings.*' -> P("model", None))
 SOURCE_EMBEDDINGS_SPEC = P("model", None)

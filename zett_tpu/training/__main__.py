@@ -268,6 +268,20 @@ def run_training(config: dict, run_name: str = "run"):
 
     if train_cfg.eval_at_step_zero and eval_fn is not None:
         on_log(0, eval_fn(trainer))
+
+    profile_dir = config.get("profile_dir")
+    if profile_dir:
+        # capture a device trace of the first few steps (SURVEY §5.1)
+        from ..utils import trace
+
+        n_profile = int(config.get("profile_steps", 3))
+        with trace(profile_dir):
+            saved_steps = train_cfg.steps
+            trainer.cfg.steps = min(n_profile, saved_steps)
+            trainer.fit(batch_iter, identity_iter, on_log=on_log)
+            trainer.cfg.steps = saved_steps
+        print(f"wrote device trace for {n_profile} steps to {profile_dir}")
+
     history = trainer.fit(batch_iter, identity_iter, eval_fn=eval_fn, on_log=on_log)
     trainer.save_checkpoint(os.path.join(train_cfg.output_dir, "final"))
     hn_tokenizer.save(os.path.join(train_cfg.output_dir, "final", "tokenizer.json"))

@@ -56,7 +56,9 @@ class Trainer:
         use_passthrough_hypernet: bool = False,
         hn_pad_token_id: int = 0,
         pretrained_hn_params: Optional[dict] = None,
+        fsdp: bool = False,
     ):
+        self.fsdp = fsdp
         self.cfg = train_config
         self.model_type = model_type
         self.mesh = mesh
@@ -165,7 +167,13 @@ class Trainer:
         """NamedSharding tree for the full train state under the mesh."""
         if self.mesh is None:
             return None
-        rules = list(HYPERNET_RULES) + list(BACKBONE_RULES.get(self.model_type, []))
+        if self.fsdp:
+            from ..parallel.sharding import fsdp_rules
+
+            backbone = fsdp_rules(self.model_type)
+        else:
+            backbone = BACKBONE_RULES.get(self.model_type, [])
+        rules = list(HYPERNET_RULES) + list(backbone)
         specs = pspec_tree_ranked(state, rules)
         # source embeddings: vocab rows over "model"
         specs = specs.replace(
