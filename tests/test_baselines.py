@@ -90,3 +90,55 @@ def test_apply_to_ft_task_vector():
                                   swapped["transformer"]["wte"]["embedding"])
     # non-embedding: ft + 0.5*(swapped-base) = 3 + 0.5*(2-1) = 3.5
     np.testing.assert_allclose(out["transformer"]["h_0"]["c_fc"]["kernel"], 3.5)
+
+
+def test_ofa_transfer_char_ngram_fallback(toks):
+    from zett_tpu.transfer.baselines import ofa_transfer
+
+    source, target = toks
+    rng = np.random.default_rng(0)
+    src_emb = rng.normal(size=(len(source), 8)).astype(np.float32)
+    emb, overlap = ofa_transfer(src_emb, source, target, top_k=5)
+    assert emb.shape == (len(target), 8)
+    assert np.isfinite(emb).all()
+    assert len(overlap) > 0
+    for i in overlap[:50]:
+        sid = source.token_to_id(target.id_to_token(i))
+        np.testing.assert_array_equal(emb[i], src_emb[sid])
+
+
+def test_ofa_transfer_with_word_embeddings_and_factorize(toks):
+    from zett_tpu.transfer.baselines import ofa_subword_embeddings, ofa_transfer
+
+    source, target = toks
+    rng = np.random.default_rng(1)
+    src_emb = rng.normal(size=(len(source), 16)).astype(np.float32)
+    words = ["the", "of", "and", "to", "in", "was", "hello", "world", "test", "der", "die", "das"]
+    word_emb = {w: rng.normal(size=12).astype(np.float32) for w in words}
+
+    reps, has = ofa_subword_embeddings(source, word_emb)
+    assert reps.shape == (len(source), 12)
+    assert has.any(), "no subword got a representation"
+    norms = np.linalg.norm(reps[has], axis=1)
+    np.testing.assert_allclose(norms, 1.0, atol=1e-5)
+
+    emb, overlap = ofa_transfer(
+        src_emb, source, target, word_embeddings=word_emb, factorize_dim=8, top_k=3
+    )
+    assert emb.shape == (len(target), 16)
+    assert np.isfinite(emb).all()
+    # overlap rows exact even under factorization
+    for i in overlap[:20]:
+        sid = source.token_to_id(target.id_to_token(i))
+        np.testing.assert_array_equal(emb[i], src_emb[sid])
+
+
+def test_ofa_identical_vocab_copies_everything(toks):
+    from zett_tpu.transfer.baselines import ofa_transfer
+
+    source, _ = toks
+    rng = np.random.default_rng(2)
+    src_emb = rng.normal(size=(len(source), 8)).astype(np.float32)
+    emb, overlap = ofa_transfer(src_emb, source, source)
+    assert len(overlap) == len(source)
+    np.testing.assert_array_equal(emb, src_emb)

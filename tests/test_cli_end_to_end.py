@@ -126,3 +126,42 @@ def test_transfer_and_eval_cli(model_dir, ckpt_dir, xlmr_like_json, tmp_path, co
     assert np.isfinite(metrics["loss"])
     assert metrics["perplexity"] > 0
     assert 0 < metrics["bits_per_char"] < 1000
+
+
+def test_baselines_cli_all_methods(model_dir, xlmr_like_json, tmp_path):
+    """baselines_cli writes a loadable HF dir for each non-hypernet method
+    (reference: scripts/transfer_{lexical,focus,ofa}.py)."""
+    from zett_tpu.tokenization import Tokenizer
+    from zett_tpu.transfer.baselines_cli import main as baselines_main
+
+    target_path = str(tmp_path / "target_tokenizer.json")
+    Tokenizer.from_json(xlmr_like_json).save(target_path)
+
+    # word2vec-format auxiliary vectors for the ofa path
+    vec_path = str(tmp_path / "vectors.txt")
+    rng = np.random.default_rng(0)
+    words = ["the", "of", "and", "hello", "world", "der", "die", "das"]
+    with open(vec_path, "w") as f:
+        f.write(f"{len(words)} 6\n")
+        for w in words:
+            f.write(w + " " + " ".join(f"{x:.4f}" for x in rng.normal(size=6)) + "\n")
+
+    for method, extra in [
+        ("bfvt", []),
+        ("focus", []),
+        ("ofa", ["--word-embeddings", vec_path, "--factorize-dim", "16"]),
+        ("ofa", []),  # char-n-gram fallback
+    ]:
+        out_dir = str(tmp_path / f"out_{method}_{len(extra)}")
+        baselines_main([
+            "--method", method,
+            "--model", model_dir,
+            "--target-tokenizer", target_path,
+            "--output", out_dir,
+            *extra,
+        ])
+        assert os.path.exists(os.path.join(out_dir, "model.safetensors"))
+        with open(os.path.join(out_dir, "config.json")) as f:
+            cj = json.load(f)
+        target = Tokenizer.from_file(os.path.join(out_dir, "tokenizer.json"))
+        assert cj["vocab_size"] == len(target)

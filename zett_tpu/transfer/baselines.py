@@ -154,6 +154,120 @@ def focus_transfer(
     return target, overlap_ids
 
 
+def ofa_subword_embeddings(
+    tokenizer: Tokenizer,
+    word_embeddings: Dict[str, np.ndarray],
+    add_prefix_space: bool = True,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Subword representations in an external multilingual word-vector space:
+    each word's vector is accumulated onto every subword in its encoding, then
+    averaged (the WordEmbedding construction OFA performs over ColexNet
+    vectors; reference: scripts/transfer_ofa.py:18-20,34-35). Returns
+    (reps [vocab, dim], has_rep [vocab] bool)."""
+    n = len(tokenizer)
+    dim = len(next(iter(word_embeddings.values())))
+    reps = np.zeros((n, dim), dtype=np.float32)
+    counts = np.zeros(n, dtype=np.int64)
+    for word, vec in word_embeddings.items():
+        text = " " + word if add_prefix_space else word
+        ids = tokenizer.encode(text).ids
+        for tid in set(ids):
+            if 0 <= tid < n:
+                reps[tid] += vec
+                counts[tid] += 1
+    has_rep = counts > 0
+    reps[has_rep] /= counts[has_rep, None]
+    norms = np.linalg.norm(reps, axis=1, keepdims=True)
+    reps = reps / np.maximum(norms, 1e-8)
+    return reps, has_rep
+
+
+def ofa_transfer(
+    source_embeddings: np.ndarray,
+    source_tokenizer: Tokenizer,
+    target_tokenizer: Tokenizer,
+    word_embeddings: Optional[Dict[str, np.ndarray]] = None,
+    top_k: int = 10,
+    temperature: float = 0.1,
+    factorize_dim: Optional[int] = None,
+    seed: int = 0,
+) -> Tuple[np.ndarray, List[int]]:
+    """OFA-style embedding initialization (reference: scripts/transfer_ofa.py,
+    delegating to the external `ofa` package — re-implemented natively here):
+
+    1. optionally factorize E_s = F · P via SVD (`keep_dim`/`factorize`);
+    2. represent every subword of BOTH vocabularies in an external
+       multilingual word-vector space (ColexNet in the paper; any
+       `word -> vector` dict here, with hashed char-n-grams as the offline
+       fallback);
+    3. overlapping tokens copy their source row exactly; each new target
+       token becomes a softmax(sim/temperature)-weighted sum over its top-k
+       most similar source subwords' coordinate rows (vs. ALL source
+       subwords — this is what distinguishes OFA from FOCUS, which anchors
+       only on overlapping tokens);
+    4. tokens with no external representation get random init from the
+       source distribution.
+    """
+    rng = np.random.default_rng(seed)
+    n_target = len(target_tokenizer)
+    n_source = len(source_embeddings)
+    source_vocab = source_tokenizer.get_vocab()
+    target_tokens = [target_tokenizer.id_to_token(i) or "" for i in range(n_target)]
+
+    if factorize_dim is not None and factorize_dim < source_embeddings.shape[1]:
+        u, s, vt = np.linalg.svd(
+            source_embeddings.astype(np.float64), full_matrices=False
+        )
+        coords = (u[:, :factorize_dim] * s[:factorize_dim]).astype(
+            source_embeddings.dtype
+        )
+        primitive = vt[:factorize_dim].astype(source_embeddings.dtype)
+    else:
+        coords = source_embeddings
+        primitive = None
+
+    if word_embeddings is not None:
+        src_reps, src_has = ofa_subword_embeddings(source_tokenizer, word_embeddings)
+        tgt_reps, tgt_has = ofa_subword_embeddings(target_tokenizer, word_embeddings)
+    else:
+        source_tokens = [source_tokenizer.id_to_token(i) or "" for i in range(n_source)]
+        all_reps = char_ngram_embeddings(source_tokens + target_tokens)
+        src_reps, tgt_reps = all_reps[:n_source], all_reps[n_source:]
+        src_has = np.linalg.norm(src_reps, axis=1) > 0
+        tgt_has = np.linalg.norm(tgt_reps, axis=1) > 0
+    src_has = src_has[:n_source] if len(src_has) > n_source else src_has
+
+    target = rng.normal(
+        loc=source_embeddings.mean(0),
+        scale=source_embeddings.std(0),
+        size=(n_target, source_embeddings.shape[1]),
+    ).astype(source_embeddings.dtype)
+
+    overlap_ids: List[int] = []
+    new_with_rep: List[int] = []
+    for i, token in enumerate(target_tokens):
+        idx = source_vocab.get(token)
+        if idx is not None and idx < n_source:
+            target[i] = source_embeddings[idx]
+            overlap_ids.append(i)
+        elif tgt_has[i]:
+            new_with_rep.append(i)
+
+    src_ids = np.nonzero(src_has)[0]
+    if new_with_rep and len(src_ids):
+        sims = tgt_reps[np.asarray(new_with_rep)] @ src_reps[src_ids].T
+        k = min(top_k, sims.shape[1])
+        top_idx = np.argpartition(-sims, k - 1, axis=1)[:, :k]
+        rows = np.take_along_axis(sims, top_idx, axis=1)
+        w = np.exp((rows - rows.max(axis=1, keepdims=True)) / temperature)
+        w /= w.sum(axis=1, keepdims=True)
+        combined = np.einsum("nk,nkd->nd", w, coords[src_ids[top_idx]])
+        if primitive is not None:
+            combined = combined @ primitive
+        target[np.asarray(new_with_rep)] = combined.astype(source_embeddings.dtype)
+    return target, overlap_ids
+
+
 def passthrough_transfer(hn_params: dict, n_tokens: int):
     """Slice the passthrough hypernet's learned tables to the tokenizer size
     (reference: scripts/transfer_passthrough.py:49-59)."""
