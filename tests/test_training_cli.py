@@ -1,0 +1,117 @@
+"""run_training end-to-end through JSON configs: the full driver path the
+reference exercises via `python train.py config.json` (train.py:194-1570) —
+sampled-tokenizer zeroshot, fixed-target-tokenizer n-shot (passthrough +
+full backbone FT), and full-state resume."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from zett_tpu.training.__main__ import run_training
+
+
+@pytest.fixture(scope="module")
+def model_dir(tmp_path_factory, gpt2_like_json):
+    from safetensors.numpy import save_file
+
+    from zett_tpu.models.backbones.gpt2 import GPT2Config, GPT2LMHeadModel
+    from zett_tpu.models.backbones.loader import invert_gpt2
+    from zett_tpu.tokenization import Tokenizer
+
+    path = tmp_path_factory.mktemp("gpt2_model_cli")
+    tok = Tokenizer.from_json(gpt2_like_json)
+    vocab = len(tok)
+    cfg = GPT2Config(vocab_size=vocab, n_positions=64, n_embd=32, n_layer=1, n_head=2)
+    module = GPT2LMHeadModel(cfg)
+    params = module.init(jax.random.PRNGKey(0), jnp.ones((1, 4), dtype=jnp.int32))["params"]
+    sd = invert_gpt2(jax.tree_util.tree_map(np.asarray, params), cfg)
+    save_file({k: np.ascontiguousarray(v) for k, v in sd.items()},
+              str(path / "model.safetensors"))
+    with open(path / "config.json", "w") as f:
+        json.dump({
+            "model_type": "gpt2", "vocab_size": vocab, "n_positions": 64,
+            "n_embd": 32, "n_layer": 1, "n_head": 2,
+            "layer_norm_epsilon": 1e-5, "tie_word_embeddings": True,
+        }, f)
+    tok.save(str(path / "tokenizer.json"))
+    return str(path)
+
+
+def _base_config(model_dir, out_dir, corpus):
+    return {
+        "model_dir": model_dir,
+        "output_dir": out_dir,
+        "texts_by_lang": {"en": [t for t in corpus if t.strip()][:96]},
+        "langs": ["en"],
+        "steps": 2,
+        "warmup_steps": 1,
+        "identity_steps": 0,
+        "logging_steps": 1,
+        "save_steps": 0,
+        "eval_steps": 0,
+        "batch_size": 8,  # divisible by the 8-device CPU mesh's data axis
+        "block_size": 16,
+        "n_token_subsample": 128,
+        "pad_to_multiple_of": 128,
+        "tokenizer_sample_mean": 96, "tokenizer_sample_std": 0,
+        "tokenizer_sample_min": 96, "tokenizer_sample_max": 96,
+        "tokenizer_batch_size": 16,
+        "hidden_size": 32, "intermediate_size": 64,
+        "num_hidden_layers": 1, "num_attention_heads": 2,
+        "max_position_embeddings": 16, "hn_surface_maxlen": 8,
+        "hidden_dropout_prob": 0.0, "attention_dropout_prob": 0.0,
+        "n_initial_texts": 16,
+    }
+
+
+def test_run_training_sampled_zeroshot(model_dir, corpus, tmp_path):
+    out = str(tmp_path / "zs")
+    trainer, history = run_training(_base_config(model_dir, out, corpus), "zs")
+    assert len(history) == 2
+    assert np.isfinite(history[-1]["loss"])
+    assert os.path.exists(os.path.join(out, "metrics.jsonl"))
+    assert os.path.exists(os.path.join(out, "final", "tokenizer.json"))
+
+
+def test_run_training_nshot_fixed_target(model_dir, corpus, tmp_path, xlmr_like_json):
+    """do_tokenizer_sampling=false + target_tokenizer: the n-shot/baseline
+    path (reference configs/nshot/*, target_tokenizer_name)."""
+    from zett_tpu.tokenization import Tokenizer
+
+    target_path = str(tmp_path / "target.json")
+    Tokenizer.from_json(xlmr_like_json).save(target_path)
+
+    cfg = _base_config(model_dir, str(tmp_path / "ns"), corpus)
+    cfg.update({
+        "do_tokenizer_sampling": False,
+        "target_tokenizer": target_path,
+        "use_passthrough_hypernet": True,
+        "backbone_training": "full",
+        "n_token_subsample": None,
+    })
+    trainer, history = run_training(cfg, "ns")
+    assert len(history) == 2
+    assert np.isfinite(history[-1]["loss"])
+
+
+def test_run_training_resume_full_state(model_dir, corpus, tmp_path):
+    out_a = str(tmp_path / "a")
+    cfg = _base_config(model_dir, out_a, corpus)
+    trainer_a, _ = run_training(cfg, "a")
+    assert int(trainer_a.state.step) == 2
+    # final/ carries full state (opt/step/rng) because save_state defaults on
+    assert os.path.exists(os.path.join(out_a, "final", "resume"))
+
+    cfg_b = dict(cfg)
+    cfg_b["output_dir"] = str(tmp_path / "b")
+    cfg_b["resume_from_checkpoint"] = os.path.join(out_a, "final")
+    cfg_b["steps"] = 3
+    trainer_b, history_b = run_training(cfg_b, "b")
+    # resumed at step 2, so only one optimizer step happened
+    assert int(trainer_b.state.step) == 3
+    assert len(history_b) == 1

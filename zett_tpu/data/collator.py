@@ -314,6 +314,11 @@ class Collator:
                 ids_to_embed.insert(int(special), int(special))
             ids_to_embed = np.array(ids_to_embed, dtype=np.int64)
 
+            if len(self.inv_ids_to_embed) < len(tokenizer):
+                # sampled vocabs can exceed sample_max + 256: the sampler
+                # force-includes the byte alphabet, whitespace runs and
+                # specials on top of the requested size
+                self.inv_ids_to_embed = np.zeros(len(tokenizer), dtype=np.int32)
             self.inv_ids_to_embed[ids_to_embed] = np.arange(len(ids_to_embed))
             encodings["input_ids"] = self.inv_ids_to_embed[encodings["input_ids"]]
             active = encodings["labels"] != -100

@@ -133,6 +133,25 @@ def run_training(config: dict, run_name: str = "run"):
         eos_token=reference.all_special_tokens[0] if reference.all_special_tokens else None,
     )
     inner_collator = MLMCollator() if train_cfg.loss == "mlm" else None
+    # n-shot / baseline runs train against ONE fixed tokenizer: the
+    # `target_tokenizer` config key (byte-level converted, specials matched to
+    # the source) or the source tokenizer itself
+    # (reference: target_tokenizer_name, train.py / configs/nshot/*)
+    fixed_tokenizer = None
+    if not data_cfg.do_tokenizer_sampling:
+        target_tok_path = config.get("target_tokenizer")
+        if target_tok_path:
+            tok_file = (
+                os.path.join(target_tok_path, "tokenizer.json")
+                if os.path.isdir(target_tok_path) else target_tok_path
+            )
+            fixed_tokenizer, _ = convert_to_byte_level(
+                Tokenizer.from_file(tok_file),
+                match_special_tokens_to=reference,
+                make_whitespace_consistent=True,
+            )
+        else:
+            fixed_tokenizer = reference.copy()
     collator = Collator(
         reference=reference,
         hn_tokenizer=hn_tokenizer,
@@ -141,6 +160,7 @@ def run_training(config: dict, run_name: str = "run"):
         initial_texts=dataset.get_texts_in_each_language(
             config.get("n_initial_texts", 256)
         ),
+        fixed_tokenizer=fixed_tokenizer,
         inner_collator=inner_collator,
         seed=train_cfg.seed,
     )
@@ -165,11 +185,13 @@ def run_training(config: dict, run_name: str = "run"):
         n_model = train_cfg.n_model_parallel
         mesh = make_mesh(n_data=n_devices // n_model, n_model=n_model)
 
-    vocab_batch = (
-        data_cfg.n_token_subsample
-        if data_cfg.n_token_subsample is not None
-        else data_cfg.tokenizer_sample_max + data_cfg.pad_to_multiple_of
-    )
+    if data_cfg.n_token_subsample is not None:
+        vocab_batch = data_cfg.n_token_subsample
+    elif fixed_tokenizer is not None:
+        pad = data_cfg.pad_to_multiple_of
+        vocab_batch = -(-len(fixed_tokenizer) // pad) * pad
+    else:
+        vocab_batch = data_cfg.tokenizer_sample_max + data_cfg.pad_to_multiple_of
     trainer = Trainer(
         hn_config=hn_cfg,
         backbone_config=bb_config,
@@ -266,6 +288,17 @@ def run_training(config: dict, run_name: str = "run"):
             print(f"step {step}: " + " ".join(f"{k}={v:.4g}" for k, v in metrics.items()
                                               if isinstance(v, (int, float))))
 
+    resume_step = 0
+    resume_path = config.get("resume_from_checkpoint")
+    if resume_path:
+        trainer.restore_checkpoint(
+            resume_path, reset_steps=bool(config.get("resume_reset_steps", False))
+        )
+        resume_step = int(trainer.state.step) // max(
+            1, train_cfg.gradient_accumulation_steps
+        )
+        print(f"resumed from {resume_path} at step {resume_step}")
+
     if train_cfg.eval_at_step_zero and eval_fn is not None:
         on_log(0, eval_fn(trainer))
 
@@ -282,8 +315,13 @@ def run_training(config: dict, run_name: str = "run"):
             trainer.cfg.steps = saved_steps
         print(f"wrote device trace for {n_profile} steps to {profile_dir}")
 
-    history = trainer.fit(batch_iter, identity_iter, eval_fn=eval_fn, on_log=on_log)
-    trainer.save_checkpoint(os.path.join(train_cfg.output_dir, "final"))
+    history = trainer.fit(
+        batch_iter, identity_iter, eval_fn=eval_fn, on_log=on_log,
+        resume_step=resume_step,
+    )
+    trainer.save_checkpoint(
+        os.path.join(train_cfg.output_dir, "final"), full_state=train_cfg.save_state
+    )
     hn_tokenizer.save(os.path.join(train_cfg.output_dir, "final", "tokenizer.json"))
     return trainer, history
 

@@ -36,6 +36,7 @@ class TrainingConfig:
     seed: int = 0
     logging_steps: int = 50
     save_steps: int = 500
+    save_state: bool = True  # periodic checkpoints include opt state/step/rng
     eval_steps: int = 500
     eval_at_step_zero: bool = False
     dtype: str = "float32"

@@ -87,8 +87,10 @@ class Trainer:
             )
 
         if use_passthrough_hypernet:
+            # table rows = padded source rows (extract_embeddings pads the
+            # vocab to a multiple of 128, reference train.py:320-348)
             self.hypernet = PassthroughHypernet(
-                hn_config, vocab_size=original_vocab, dtype=self.dtype
+                hn_config, vocab_size=self.source_embeddings.shape[0], dtype=self.dtype
             )
         else:
             self.hypernet = Hypernet(hn_config, dtype=self.dtype)
@@ -113,7 +115,7 @@ class Trainer:
                 hn_params["output_embeddings"] = {"embedding": source[:, hn_cfg.n_embd :]}
             if hn_cfg.predict_bias:
                 hn_params["bias"] = {
-                    "embedding": jnp.zeros((self.original_vocab_size, 1), dtype=self.dtype)
+                    "embedding": jnp.zeros((source.shape[0], 1), dtype=self.dtype)
                 }
             source_for_state = None
         else:
@@ -440,7 +442,10 @@ class Trainer:
                     on_log(step + 1, logged)
                 running = {}
             if is_boundary and cfg.save_steps and (step + 1) % cfg.save_steps == 0:
-                self.save_checkpoint(os.path.join(cfg.output_dir, f"step_{step + 1}"))
+                self.save_checkpoint(
+                    os.path.join(cfg.output_dir, f"step_{step + 1}"),
+                    full_state=cfg.save_state,
+                )
             if (
                 is_boundary
                 and eval_fn is not None
