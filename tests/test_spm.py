@@ -85,3 +85,35 @@ def test_expected_counts_likelihood_improves(corpus):
     m2 = host_lib.NativeUnigram(pieces, list(new_scores), unk_id=-1)
     _, ll2 = m2.expected_counts(pretokens, weights, len(pieces))
     assert ll2 >= ll1, f"EM step decreased likelihood: {ll1} -> {ll2}"
+
+
+def test_make_tokenizers_cli_train_and_sample(tmp_path, corpus):
+    """Artifact-minting CLI (reference: scripts/make_spm.py +
+    make_tokenizers.sh + get_sampled_tokenizer.py)."""
+    import numpy as np
+
+    from zett_tpu.tokenization import Tokenizer
+    from zett_tpu.tokenization.make_tokenizers import main
+
+    data_path = str(tmp_path / "corpus.txt")
+    with open(data_path, "w") as f:
+        for t in corpus:
+            if t.strip():
+                f.write(t.replace("\n", " ") + "\n")
+
+    for mode, extra in [("train", ["--whitespace-pieces"]), ("sample", ["--noise-std", "0.5"])]:
+        main([
+            "--data", data_path,
+            "--output", str(tmp_path / "artifacts"),
+            "--name", f"{mode}_tok",
+            "--mode", mode,
+            "--vocab-size", "400",
+        ] + extra)
+        out = tmp_path / "artifacts" / f"{mode}_tok"
+        tok = Tokenizer.from_file(str(out / "tokenizer.json"))
+        assert len(tok) >= 256
+        ids = tok.encode("hello world").ids
+        assert len(ids) > 0 and tok.decode(ids) == " hello world"
+        prior = np.load(str(out / "priors.npy"))
+        assert prior.shape[0] == len(tok)
+        assert np.isfinite(prior).all()

@@ -133,6 +133,14 @@ def train_unigram(
     vocab_pairs = [[t, 0.0] for t in special_tokens] + [
         [bytes_to_byte_chars(p), float(s)] for p, s in zip(pieces, scores)
     ]
+    return assemble_unigram_tokenizer(vocab_pairs, special_tokens)
+
+
+def assemble_unigram_tokenizer(
+    vocab_pairs: List[List], special_tokens: List[str]
+) -> Tokenizer:
+    """Byte-level Unigram tokenizer from [piece, score] pairs (pieces already
+    in byte-char alphabet, specials first)."""
     data = {
         "version": "1.0",
         "added_tokens": [],
