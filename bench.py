@@ -51,7 +51,7 @@ def bench_retokenize(texts, vocab_size=32768):
     sampler = TokenizerSampler()
     t0 = time.time()
     sampled = sampler.sample_tokenizer(
-        {t: 1 for t in texts[:256]}, vocab_size, 16, 4, 0.0, pop_prev=True
+        {t: 1 for t in texts[:4096]}, vocab_size, 16, 4, 0.0, pop_prev=True
     )
     sample_time = time.time() - t0
     pieces = [p for p, _ in sampled]
@@ -118,9 +118,14 @@ def bench_retokenize(texts, vocab_size=32768):
 
 def bench_device_retokenize(texts, pieces_chars, scores):
     """On-chip batched Viterbi throughput (BASELINE north star: the
-    retokenization loop runs on-device)."""
+    retokenization loop runs on-device).
+
+    Two numbers: the raw device rate over UNIQUE pretoken rows (what the
+    chip actually grinds through), and the effective corpus rate after the
+    retokenizer's dedup (corpora are Zipfian; every repeat is free)."""
     import numpy as np
 
+    import jax
     import jax.numpy as jnp
 
     from zett_tpu.ops.device_viterbi import (
@@ -146,19 +151,46 @@ def bench_device_retokenize(texts, pieces_chars, scores):
     n_bytes = sum(len(p) for p in pretokens)
 
     dev = DeviceRetokenizer(pieces, pscores, max_pretoken_len=16)
-    rows, lens = pack_pretokens(pretokens, 16)
+    uniq = list(dict.fromkeys(p[:16] for p in pretokens))
+    uniq_bytes = sum(len(p) for p in uniq)
+    rows, lens = pack_pretokens(uniq, 16)
     rows_d, lens_d = jnp.asarray(rows), jnp.asarray(lens)
-    k1, k2, ts, ti = dev._dev_table
-    args = (rows_d, lens_d, k1, k2, ts, ti, dev.unk_score)
-    kw = dict(K=dev.K, n_probes=dev.table.n_probes)
-    best, _, _ = viterbi_device(*args, **kw)
-    best.block_until_ready()  # compile
+    ta, tb = dev._dev_table
+
+    # scalar fetch as the sync barrier (block_until_ready is a no-op through
+    # the remote-device tunnel); roll by i so iterations differ (else XLA
+    # hoists the loop-invariant DP and computes it once)
+    @jax.jit
+    def run10(rows, lens, ta, tb):
+        def body(i, acc):
+            r = jnp.roll(rows, i, axis=0)
+            ln = jnp.roll(lens, i, axis=0)
+            best, _, _ = viterbi_device(r, ln, ta, tb, dev.unk_score, K=dev.K)
+            return acc + best.sum()
+        return jax.lax.fori_loop(0, 10, body, jnp.float32(0))
+
+    float(run10(rows_d, lens_d, ta, tb))  # compile
+    dt = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        float(run10(rows_d, lens_d, ta, tb))
+        dt = min(dt, (time.time() - t0) / 10)
+
+    # effective end-to-end corpus rate through the wrapper (pack + dedup on
+    # host, Viterbi + backtrack transfer for new rows); first pass warms the
+    # per-bucket jit compile, the timed pass starts with a cold memo cache
+    DeviceRetokenizer(pieces, pscores, max_pretoken_len=16).encode(pretokens)
     t0 = time.time()
-    for _ in range(10):
-        best, _, _ = viterbi_device(*args, **kw)
-    best.block_until_ready()
-    dt = (time.time() - t0) / 10
-    return {"device_retokenize_bytes_per_s": n_bytes / dt, "n_bytes": n_bytes}
+    dev2 = DeviceRetokenizer(pieces, pscores, max_pretoken_len=16)
+    dev2.encode(pretokens)
+    effective_dt = time.time() - t0
+    return {
+        "device_retokenize_bytes_per_s": uniq_bytes / dt,
+        "device_retokenize_effective_bytes_per_s": n_bytes / effective_dt,
+        "n_bytes": n_bytes,
+        "n_unique_rows": len(uniq),
+        "vocab_in_table": len(pieces),
+    }
 
 
 def bench_hypernet(vocab=32768, maxlen=16, hidden=768, layers=3):
@@ -186,29 +218,34 @@ def bench_hypernet(vocab=32768, maxlen=16, hidden=768, layers=3):
     cpu = jax.local_devices(backend="cpu")[0]
     with jax.default_device(cpu):
         params = hn.init(jax.random.PRNGKey(0), jnp.asarray(sf[:8]), jnp.asarray(priors[:8]))
+    # params resident on the chip: without this every call re-ships ~85MB of
+    # fp32 params through the device tunnel (7x the actual forward time)
+    params = jax.device_put(params, jax.devices()[0])
+    jax.block_until_ready(params)
 
     n_batches = vocab // batch
     sf_full = np.tile(sf, (n_batches, 1)).reshape(n_batches, batch, maxlen)
     pr_full = np.tile(priors, n_batches).reshape(n_batches, batch)
 
     # ONE dispatch for the whole 32k vocab: scan over chunks inside jit
-    # (per-call dispatch through the device tunnel dominates otherwise)
+    # (per-call dispatch through the device tunnel dominates otherwise).
+    # NB: through the remote-device tunnel block_until_ready() does NOT sync;
+    # a scalar fetch (float()) is the only reliable barrier, so the jit
+    # returns a checksum.
     @jax.jit
     def fwd32k(p, s4, pr4):
         def body(_, xs):
             ss, pp = xs
-            return None, hn.apply(p, ss, pp)[0]
+            return None, hn.apply(p, ss, pp)[0].sum()
         _, outs = jax.lax.scan(body, None, (s4, pr4))
-        return outs
+        return outs.sum()
 
     s_d, p_d = jnp.asarray(sf_full), jnp.asarray(pr_full)
-    out = fwd32k(params, s_d, p_d)
-    out.block_until_ready()  # compile
+    float(fwd32k(params, s_d, p_d))  # compile
     ms_per_32k = float("inf")
-    for _ in range(3):  # best-of-3: the shared chip is noisy
+    for _ in range(5):  # best-of-5: the shared chip is noisy
         t0 = time.time()
-        out = fwd32k(params, s_d, p_d)
-        out.block_until_ready()
+        float(fwd32k(params, s_d, p_d))
         ms_per_32k = min(ms_per_32k, (time.time() - t0) * 1000)
     return {"hypernet_ms_per_32k_vocab": ms_per_32k, "device": str(jax.devices()[0])}
 
@@ -242,6 +279,11 @@ def main():
         "device_retokenize_bytes_per_s": (
             round(device_retok["device_retokenize_bytes_per_s"], 1)
             if device_retok.get("device_retokenize_bytes_per_s")
+            else None
+        ),
+        "device_retokenize_effective_bytes_per_s": (
+            round(device_retok["device_retokenize_effective_bytes_per_s"], 1)
+            if device_retok.get("device_retokenize_effective_bytes_per_s")
             else None
         ),
         "device": hyper["device"],

@@ -95,14 +95,13 @@ def test_sharded_counting_psum(vocab, pretokens):
     pts = pretokens[:512]
     rows, lens = pack_pretokens(pts, 48)
     mesh = make_mesh(n_data=8, n_model=1)
-    k1, k2, ts, ti = dev._dev_table
+    ta, tb = dev._dev_table
     import jax.numpy as jnp
 
     rows_s = jax.device_put(jnp.asarray(rows), NamedSharding(mesh, P("data", None)))
     lens_s = jax.device_put(jnp.asarray(lens), NamedSharding(mesh, P("data")))
     _, bk, bi = viterbi_device(
-        rows_s, lens_s, k1, k2, ts, ti, dev.unk_score,
-        K=dev.K, n_probes=dev.table.n_probes,
+        rows_s, lens_s, ta, tb, dev.unk_score, K=dev.K,
     )
     counts = count_token_usage(bk, bi, lens_s, dev.n_pieces)
     expected = dev.token_counts(pts)

@@ -116,7 +116,7 @@ class ProjectorBlock(nn.Module):
     def __call__(self, x):
         h = nn.Dense(self.intermediate_dim, dtype=self.dtype, name="dense1")(x)
         h = nn.Dense(self.dim, dtype=self.dtype, name="dense2")(nn.gelu(h))
-        return nn.LayerNorm(name="ln")(nn.gelu(h) + x)
+        return nn.LayerNorm(dtype=self.dtype, name="ln")(nn.gelu(h) + x)
 
 
 def _attention(q, k, v, bias, num_heads, dtype, dropout_rate, deterministic, rng=None):
@@ -203,7 +203,7 @@ class EncoderLayer(nn.Module):
             hidden_states, attention_mask=attention_mask,
             position_bias=position_bias, deterministic=deterministic,
         )
-        attn_out = nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="attention_ln")(
+        attn_out = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype, name="attention_ln")(
             attn_out + hidden_states
         )
 
@@ -235,7 +235,7 @@ class EncoderLayer(nn.Module):
         h = nn.Dense(cfg.hidden_size, dtype=self.dtype, name="output")(h)
         if not deterministic and cfg.hidden_dropout_prob > 0.0:
             h = nn.Dropout(cfg.hidden_dropout_prob)(h, deterministic=False)
-        h = nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="output_ln")(h + attn_out)
+        h = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype, name="output_ln")(h + attn_out)
 
         # Per-language bottleneck adapters (reference: hyper_roberta.py:282-339)
         if cfg.language_adapter_bottleneck_dim > 0:
@@ -261,7 +261,7 @@ class EncoderLayer(nn.Module):
             la_ub = jnp.take(up_b, lang_index, axis=0)
             mid = nn.gelu(jnp.einsum("...i,io->...o", h, la_dw) + la_db)
             adapted = jnp.einsum("...i,io->...o", mid, la_uw) + la_ub
-            h = nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="adapter_ln")(adapted + h)
+            h = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype, name="adapter_ln")(adapted + h)
         return h
 
 
@@ -342,7 +342,7 @@ class HypernetEncoder(nn.Module):
                 axis=1,
             )
 
-        hidden = nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="embeddings_ln")(hidden)
+        hidden = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype, name="embeddings_ln")(hidden)
         if not deterministic and cfg.hidden_dropout_prob > 0.0:
             hidden = nn.Dropout(cfg.hidden_dropout_prob)(hidden, deterministic=False)
 

@@ -181,14 +181,26 @@ def transfer(
         source = np.concatenate(
             [source, np.zeros((n_pad, source.shape[1]), dtype=source.dtype)]
         )
-    source_dev = jnp.asarray(source)
+    # params + source embeddings live on-device once (replicated over the
+    # mesh when sharded) — passing params as jit ARGUMENTS, not closure
+    # constants, so repeated batches don't re-transfer them
+    if mesh is not None:
+        replicated = NamedSharding(mesh, P())
+        hn_params_dev = jax.device_put(hn_params, replicated)
+        source_dev = jax.device_put(jnp.asarray(source), replicated)
+    else:
+        hn_params_dev = jax.device_put(hn_params, jax.devices()[0])
+        source_dev = jax.device_put(jnp.asarray(source), jax.devices()[0])
 
     @jax.jit
-    def predict(sf, pr, src, lidx):
-        return hypernet.apply({"params": hn_params}, sf, pr, src, lidx)
+    def predict(p, sf, pr, src, lidx):
+        return hypernet.apply({"params": p}, sf, pr, src, lidx)
+
+    def predict_fn(sf, pr, src, lidx):
+        return predict(hn_params_dev, sf, pr, src, lidx)
 
     emb_in, emb_out, bias = batched_inference(
-        predict,
+        predict_fn,
         surface_forms,
         priors,
         source_dev,
