@@ -115,3 +115,15 @@ def test_run_training_resume_full_state(model_dir, corpus, tmp_path):
     # resumed at step 2, so only one optimizer step happened
     assert int(trainer_b.state.step) == 3
     assert len(history_b) == 1
+
+
+def test_run_training_cost_analysis(model_dir, corpus, tmp_path):
+    """--do_cost_analysis prints FLOPs/params and exits before training
+    (reference train.py:809-867)."""
+    cfg = _base_config(model_dir, str(tmp_path / "ca"), corpus)
+    cfg["do_cost_analysis"] = True
+    trainer, report = run_training(cfg, "ca")
+    assert report["hypernet_flops_per_token"] > 0
+    assert report["backbone_flops_per_token"] > 0
+    assert report["hypernet_params"] > 0
+    assert int(trainer.state.step) == 0  # no training happened

@@ -288,6 +288,23 @@ def run_training(config: dict, run_name: str = "run"):
             print(f"step {step}: " + " ".join(f"{k}={v:.4g}" for k, v in metrics.items()
                                               if isinstance(v, (int, float))))
 
+    if config.get("do_cost_analysis"):
+        # print FLOPs/token + param counts and exit
+        # (reference --do_cost_analysis, train.py:809-867)
+        from ..utils.cost_analysis import model_cost_report
+
+        batch = next(batch_iter)
+        report = model_cost_report(
+            trainer.hypernet,
+            {"params": trainer.state.params["hypernet"]},
+            trainer.backbone,
+            trainer.backbone_params,
+            batch,
+            source_embeddings=trainer.state.source_embeddings,
+        )
+        print(json.dumps(report, indent=2))
+        return trainer, report
+
     resume_step = 0
     resume_path = config.get("resume_from_checkpoint")
     if resume_path:

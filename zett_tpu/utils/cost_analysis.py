@@ -33,14 +33,16 @@ def cost_analysis(fn: Callable, *example_args, n_tokens: int = 1) -> Dict[str, A
     }
 
 
-def model_cost_report(hypernet, hn_params, backbone, bb_params, batch) -> Dict[str, Any]:
+def model_cost_report(
+    hypernet, hn_params, backbone, bb_params, batch, source_embeddings=None
+) -> Dict[str, Any]:
     """FLOPs/token + params for the hypernet and the frozen backbone
     (reference train.py:845-866 semantics)."""
     n_tokens = int(np.prod(batch["input_ids"].shape))
     n_vocab = int(batch["target_surface_forms"].shape[0])
 
     hyper = cost_analysis(
-        lambda p, sf, pr: hypernet.apply(p, sf, pr),
+        lambda p, sf, pr: hypernet.apply(p, sf, pr, source_embeddings),
         hn_params,
         batch["target_surface_forms"],
         batch["target_priors"],
