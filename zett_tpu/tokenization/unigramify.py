@@ -206,3 +206,59 @@ def unigramify(
         result.valid_accuracy = n_correct / max(n_total, 1)
         result.valid_original_accuracy = n_orig_correct / max(n_total, 1)
     return result
+
+
+def main(argv=None):
+    """CLI (reference: scripts/unigramify.py + recorded accuracies in
+    scripts/unigramify.sh): convert a BPE/WordPiece tokenizer into a Unigram
+    tokenizer reproducing its segmentations, validate, and save."""
+    import argparse
+    import json as _json
+    import os as _os
+
+    p = argparse.ArgumentParser(description=main.__doc__)
+    p.add_argument("--tokenizer", required=True, help="tokenizer.json or dir")
+    p.add_argument("--data", required=True, help="text file, one doc per line")
+    p.add_argument("--output", required=True)
+    p.add_argument("--valid-fraction", type=float, default=0.1)
+    p.add_argument("--max-train-pretokens", type=int, default=100_000)
+    p.add_argument("--top-n-encodings", type=int, default=16)
+    p.add_argument("--margin", type=float, default=1e-3)
+    p.add_argument("--regularization-strength", type=float, default=0.01)
+    p.add_argument("--norm", default="l1", choices=["l1", "linf", "none"])
+    args = p.parse_args(argv)
+
+    tok_path = (
+        _os.path.join(args.tokenizer, "tokenizer.json")
+        if _os.path.isdir(args.tokenizer) else args.tokenizer
+    )
+    reference = Tokenizer.from_file(tok_path)
+    with open(args.data) as f:
+        texts = [line.rstrip("\n") for line in f if line.strip()]
+    n_valid = max(1, int(len(texts) * args.valid_fraction))
+    result = unigramify(
+        reference,
+        texts[n_valid:],
+        valid_texts=texts[:n_valid],
+        max_n_train_pretokens=args.max_train_pretokens,
+        top_n_encodings=args.top_n_encodings,
+        margin=args.margin,
+        regularization_strength=args.regularization_strength,
+        norm=args.norm,
+    )
+    _os.makedirs(args.output, exist_ok=True)
+    result.tokenizer.save(_os.path.join(args.output, "tokenizer.json"))
+    report = {
+        "train_accuracy": result.train_accuracy,
+        "valid_accuracy": result.valid_accuracy,
+        "valid_original_accuracy": result.valid_original_accuracy,
+        "avg_logp_diff": result.avg_logp_diff,
+        "n_wrong_train": result.n_wrong_train,
+    }
+    with open(_os.path.join(args.output, "unigramify_report.json"), "w") as f:
+        _json.dump(report, f, indent=2)
+    print(_json.dumps(report))
+
+
+if __name__ == "__main__":
+    main()
