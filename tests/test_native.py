@@ -85,6 +85,68 @@ class TestNativeUnigram:
         assert fast_encoder_or_none(tok) is None
 
 
+class TestNativeSplitter:
+    """The C++ UTF-8 scanner implements SPLIT_REGEX semantics byte-exactly
+    (classes come from a table generated with the Python `regex` module)."""
+
+    CASES = [
+        "Hello world", " Hello", "don't can't we're I'll you've he'd I'm 'S",
+        "a  b   c\t d\n\ne", "  leading", "trailing  ", "tabs\t\tx", "a \tb",
+        "123 456a7", "3.14 1,000,000", "日本語のテキスト", "Zürich naïve café",
+        "привет мир", "🤖🎉 emoji!", "é combining á̂ marks",
+        "́standalone mark", "mixed!!!◌́!!!", "многа    пробелов   ",
+        "'s's's", "x'sy", "''", "'", "' '", " 's", "quote 'word' end",
+        " nbsp  ", "　ideographic space", " line sep",
+        "a​zero-width", "under_score dash-dash", "CamelCase ALLCAPS",
+        "\t", "\n", " ", "", "a", "ab12cd!@#", "½¾ fractions ² superscript",
+        "ʼmodifier-apostrophe", "ـــ tatweel", "१२३ devanagari ٤٥٦ arabic",
+    ]
+
+    @pytest.mark.parametrize("use_marks", [True, False])
+    def test_matches_regex(self, use_marks):
+        import random
+
+        import regex
+
+        from zett_tpu.constants import SPLIT_REGEX, SPLIT_REGEX_NO_MARKS
+
+        rx = regex.compile(SPLIT_REGEX if use_marks else SPLIT_REGEX_NO_MARKS)
+        rng = random.Random(0)
+        pool = "abc ABC 123 .,!? \t\n日本 éǘ 🤖' 's 'll «»—　 "
+        cases = self.CASES + [
+            "".join(rng.choice(pool) for _ in range(rng.randint(0, 80)))
+            for _ in range(200)
+        ]
+        for s in cases:
+            want = [m.group().encode("utf-8") for m in rx.finditer(s)]
+            got = host_lib.split_pretokens_native(
+                s.encode("utf-8"), use_marks=use_marks
+            )
+            assert got == want, f"splitter mismatch on {s!r}"
+
+    def test_fused_encode_matches_pretoken_path(self, sampled_tokenizer, corpus):
+        """encode_texts (fused split+Viterbi) == split-then-encode_flat."""
+        import regex
+
+        from zett_tpu.constants import SPLIT_REGEX
+
+        enc = FastUnigramEncoder(sampled_tokenizer)
+        rx = regex.compile(SPLIT_REGEX)
+        texts = [t for t in corpus if t.strip()][:60]
+        raw = [(" " + t).encode("utf-8") if enc.prepend else t.encode("utf-8")
+               for t in texts]
+        flat_fused, per_text = enc._native.encode_texts(raw)
+        pretokens = []
+        for t in texts:
+            pretokens.extend(
+                m.group().encode("utf-8")
+                for m in rx.finditer((enc.prepend or "") + t)
+            )
+        flat_pre, _ = enc._native.encode_flat(pretokens)
+        np.testing.assert_array_equal(flat_fused, flat_pre)
+        assert int(per_text.sum()) == len(flat_pre)
+
+
 class TestNativeAho:
     def test_matches_python_automaton(self, corpus):
         patterns = {}

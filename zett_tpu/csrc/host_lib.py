@@ -54,6 +54,17 @@ _lib.uni_encode_batch_threaded.argtypes = [
     ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
     ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_int32,
 ]
+_lib.uni_encode_texts.restype = ctypes.c_int64
+_lib.uni_encode_texts.argtypes = [
+    ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+    ctypes.c_void_p, ctypes.c_int32,
+    ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_int32,
+]
+_lib.split_pretokens.restype = ctypes.c_int64
+_lib.split_pretokens.argtypes = [
+    ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_int32,
+    ctypes.c_void_p, ctypes.c_int64,
+]
 _lib.uni_score_batch.argtypes = [
     ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
     ctypes.c_void_p,
@@ -88,6 +99,65 @@ _lib.ac_count.argtypes = [
 
 def _ptr(a: np.ndarray):
     return a.ctypes.data_as(ctypes.c_void_p)
+
+
+# Unicode class table for the native pretokenizer: one byte per codepoint,
+# bits 1=\s, 2=\p{L}, 4=\p{M}, 8=\p{N}. Generated with the Python `regex`
+# module (the same engine as the pure-Python split path) so the native
+# scanner's class semantics match it by construction; cached on disk.
+_CTAB_PATH = os.path.join(_DIR, "unicode_classes_v1.npy")
+_CTAB: "np.ndarray | None" = None
+
+LETTERS_WITH_MARKS = 2 | 4  # [\p{L}\p{M}] branch (SPLIT_REGEX)
+LETTERS_NO_MARKS = 2  # \p{L} branch (SPLIT_REGEX_NO_MARKS / rust variant)
+
+
+def unicode_class_table() -> np.ndarray:
+    global _CTAB
+    if _CTAB is not None:
+        return _CTAB
+    if os.path.exists(_CTAB_PATH):
+        tab = np.load(_CTAB_PATH)
+        if tab.shape == (0x110000,) and tab.dtype == np.uint8:
+            _CTAB = np.ascontiguousarray(tab)
+            return _CTAB
+    import regex
+
+    tab = np.zeros(0x110000, dtype=np.uint8)
+    cps = np.concatenate([np.arange(0xD800), np.arange(0xE000, 0x110000)])
+    all_chars = "".join(map(chr, cps))
+    for bit, pat in ((1, r"\s"), (2, r"\p{L}"), (4, r"\p{M}"), (8, r"\p{N}")):
+        mask = np.zeros(len(cps), dtype=bool)
+        for mo in regex.finditer(pat + "+", all_chars):
+            mask[mo.start():mo.end()] = True
+        tab[cps[mask]] |= np.uint8(bit)
+    _CTAB = tab
+    try:
+        np.save(_CTAB_PATH, tab)
+    except OSError:
+        pass
+    return _CTAB
+
+
+def split_pretokens_native(text: bytes, use_marks: bool = True) -> List[bytes]:
+    """Native GPT-2-regex split of one utf-8 text (differential-test hook)."""
+    ctab = unicode_class_table()
+    data = np.frombuffer(text, dtype=np.uint8)
+    if len(data) == 0:
+        return []
+    data = np.ascontiguousarray(data)
+    ends = np.empty(len(text), dtype=np.int64)
+    n = _lib.split_pretokens(
+        _ptr(data), len(text), _ptr(ctab),
+        LETTERS_WITH_MARKS if use_marks else LETTERS_NO_MARKS,
+        _ptr(ends), len(ends),
+    )
+    assert n >= 0
+    out, start = [], 0
+    for e in ends[:n]:
+        out.append(text[start:e])
+        start = int(e)
+    return out
 
 
 def _concat_bytes(items: Sequence[bytes]) -> Tuple[np.ndarray, np.ndarray]:
@@ -154,6 +224,32 @@ class NativeUnigram:
         )
         assert total >= 0, "output capacity exceeded"
         return out_ids[:total], out_lens
+
+    def encode_texts(
+        self,
+        texts: Sequence[bytes],
+        use_marks: bool = True,
+        n_threads: int = 0,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Fused split-regex pretokenize + Viterbi over whole utf-8 texts.
+        Returns (flat_ids, tokens_per_text). The entire collator hot path
+        (reference: HF pre_tokenizer + Unigram encode, zett/collator.py:166)
+        in one native threaded call."""
+        ctab = unicode_class_table()
+        data, offsets = _concat_bytes(texts)
+        cap = max(int(offsets[-1]), 1)
+        out_ids = np.empty(cap, dtype=np.int32)
+        out_tokens = np.empty(len(texts), dtype=np.int64)
+        if n_threads == 0:
+            n_threads = min(os.cpu_count() or 1, 8)
+        total = _lib.uni_encode_texts(
+            self._handle, _ptr(data), _ptr(offsets), len(texts),
+            _ptr(ctab),
+            LETTERS_WITH_MARKS if use_marks else LETTERS_NO_MARKS,
+            _ptr(out_ids), cap, _ptr(out_tokens), n_threads,
+        )
+        assert total >= 0, "output capacity exceeded"
+        return out_ids[:total], out_tokens
 
     def score_pretokens(self, pretokens: Sequence[bytes]) -> np.ndarray:
         data, offsets = _concat_bytes(pretokens)

@@ -90,14 +90,24 @@ void* uni_new(const uint8_t* piece_data, const int64_t* piece_offsets,
 
 void uni_free(void* handle) { delete (UnigramModel*)handle; }
 
+// Reusable DP scratch: avoids three heap allocations per pretoken (the
+// per-call malloc dominated short-pretoken Viterbi before this).
+struct ViterbiScratch {
+  std::vector<double> best;
+  std::vector<int32_t> back_begin;
+  std::vector<int32_t> back_id;
+};
+
 // Viterbi over one pretoken; appends ids to out. Returns count appended.
 static size_t uni_viterbi(UnigramModel* m, const uint8_t* s, size_t n,
-                          std::vector<int32_t>& out) {
+                          std::vector<int32_t>& out, ViterbiScratch& sc) {
   constexpr double NEG = -std::numeric_limits<double>::infinity();
-  // dp arrays on stack-ish vectors (n <= a few thousand)
-  std::vector<double> best(n + 1, NEG);
-  std::vector<int32_t> back_begin(n + 1, -1);
-  std::vector<int32_t> back_id(n + 1, -1);
+  sc.best.assign(n + 1, NEG);
+  sc.back_begin.assign(n + 1, -1);
+  sc.back_id.assign(n + 1, -1);
+  std::vector<double>& best = sc.best;
+  std::vector<int32_t>& back_begin = sc.back_begin;
+  std::vector<int32_t>& back_id = sc.back_id;
   best[0] = 0.0;
   for (size_t begin = 0; begin < n; ++begin) {
     if (best[begin] == NEG) continue;
@@ -153,6 +163,7 @@ int64_t uni_encode_batch_threaded(void* handle, const uint8_t* text,
   int64_t chunk = (n_pretokens + n_threads - 1) / n_threads;
   auto work = [&](int t) {
     std::unordered_map<std::string, std::vector<int32_t>> cache;
+    ViterbiScratch sc;
     std::vector<int32_t>& out = results[(size_t)t];
     std::vector<int32_t> buf;
     std::string key;
@@ -167,7 +178,7 @@ int64_t uni_encode_batch_threaded(void* handle, const uint8_t* text,
         ids = &it->second;
       } else {
         buf.clear();
-        uni_viterbi(m, s, n, buf);
+        uni_viterbi(m, s, n, buf, sc);
         ids = &cache.emplace(std::move(key), buf).first->second;
       }
       out_lens[i] = (int32_t)ids->size();
@@ -200,6 +211,7 @@ int64_t uni_encode_batch(void* handle, const uint8_t* text,
                          int32_t* out_lens) {
   auto* m = (UnigramModel*)handle;
   std::vector<int32_t> buf;
+  ViterbiScratch sc;
   int64_t total = 0;
   std::string key;
   for (int64_t i = 0; i < n_pretokens; ++i) {
@@ -212,7 +224,7 @@ int64_t uni_encode_batch(void* handle, const uint8_t* text,
       ids = &it->second;
     } else {
       buf.clear();
-      uni_viterbi(m, s, n, buf);
+      uni_viterbi(m, s, n, buf, sc);
       if (m->cache.size() < m->cache_cap) {
         ids = &m->cache.emplace(std::move(key), buf).first->second;
       } else {
@@ -233,11 +245,12 @@ void uni_score_batch(void* handle, const uint8_t* text, const int64_t* offsets,
                      int64_t n_pretokens, double* out_scores) {
   auto* m = (UnigramModel*)handle;
   std::vector<int32_t> buf;
+  ViterbiScratch sc;
   for (int64_t i = 0; i < n_pretokens; ++i) {
     const uint8_t* s = text + offsets[i];
     size_t n = (size_t)(offsets[i + 1] - offsets[i]);
     buf.clear();
-    uni_viterbi(m, s, n, buf);
+    uni_viterbi(m, s, n, buf, sc);
     double score = 0.0;
     for (int32_t pid : buf) score += (pid >= 0 && pid != m->unk_id) ? m->scores[pid] : m->unk_score;
     // note: unk pieces that coincide with a real unk_id piece use its score;
@@ -313,6 +326,201 @@ double uni_expected_counts(void* handle, const uint8_t* text,
     }
   }
   return total_ll;
+}
+
+// --------------------------------------------------------------------------
+// GPT-2 split-regex pretokenizer (native scanner)
+//
+// Hand-coded leftmost-first scanner for
+//   's|'t|'re|'ve|'m|'ll|'d| ?[\p{L}\p{M}]+| ?\p{N}+| ?[^\s\p{L}\p{N}]+
+//   |\s+(?!\S)|\s+
+// (reference: zett/utils.py:29 SPLIT_REGEX; the no-\p{M} variant at
+// rust_utils/src/lib.rs:27 is selected by letters_mask). Character classes
+// come from a caller-provided table generated with the Python `regex`
+// module (one byte per codepoint; bits: 1=\s, 2=\p{L}, 4=\p{M}, 8=\p{N}),
+// so class semantics match the Python fallback path by construction.
+// --------------------------------------------------------------------------
+
+enum { ZC_SPACE = 1, ZC_L = 2, ZC_M = 4, ZC_N = 8 };
+
+static inline uint32_t u8_decode(const uint8_t* s, size_t n, size_t i,
+                                 size_t* adv) {
+  uint8_t b = s[i];
+  if (b < 0x80) { *adv = 1; return b; }
+  if ((b & 0xE0) == 0xC0 && i + 1 < n && (s[i + 1] & 0xC0) == 0x80) {
+    *adv = 2;
+    return ((uint32_t)(b & 0x1F) << 6) | (s[i + 1] & 0x3F);
+  }
+  if ((b & 0xF0) == 0xE0 && i + 2 < n && (s[i + 1] & 0xC0) == 0x80 &&
+      (s[i + 2] & 0xC0) == 0x80) {
+    *adv = 3;
+    return ((uint32_t)(b & 0x0F) << 12) | ((uint32_t)(s[i + 1] & 0x3F) << 6) |
+           (s[i + 2] & 0x3F);
+  }
+  if ((b & 0xF8) == 0xF0 && i + 3 < n && (s[i + 1] & 0xC0) == 0x80 &&
+      (s[i + 2] & 0xC0) == 0x80 && (s[i + 3] & 0xC0) == 0x80) {
+    *adv = 4;
+    return ((uint32_t)(b & 0x07) << 18) | ((uint32_t)(s[i + 1] & 0x3F) << 12) |
+           ((uint32_t)(s[i + 2] & 0x3F) << 6) | (s[i + 3] & 0x3F);
+  }
+  *adv = 1;
+  return 0xFFFD;  // invalid byte: class "other" (never produced by Python str)
+}
+
+static inline uint8_t cls_at(const uint8_t* s, size_t n, size_t i,
+                             const uint8_t* ctab, size_t* adv) {
+  uint32_t cp = u8_decode(s, n, i, adv);
+  return ctab[cp];
+}
+
+// End offset of the pretoken starting at byte i (i < n). letters_mask is
+// ZC_L|ZC_M for the \p{M}-including regex, ZC_L for the no-marks variant.
+static size_t pretoken_end(const uint8_t* s, size_t n, size_t i,
+                           const uint8_t* ctab, uint8_t letters_mask) {
+  const uint8_t kStops = ZC_SPACE | ZC_L | ZC_N;  // "other" = none of these
+  size_t adv;
+  uint8_t c0 = cls_at(s, n, i, ctab, &adv);
+  uint8_t b = s[i];
+  // branch 1: contractions (exact lowercase ASCII)
+  if (b == '\'' && i + 1 < n) {
+    uint8_t c1 = s[i + 1];
+    if (c1 == 's' || c1 == 't' || c1 == 'm' || c1 == 'd') return i + 2;
+    if (i + 2 < n) {
+      uint8_t c2 = s[i + 2];
+      if ((c1 == 'r' && c2 == 'e') || (c1 == 'v' && c2 == 'e') ||
+          (c1 == 'l' && c2 == 'l'))
+        return i + 3;
+    }
+  }
+  size_t j = i + adv;
+  uint8_t run_mask = 0;
+  bool run_other = false;
+  if (b == ' ') {
+    if (j >= n) return n;  // trailing space: \s+(?!\S) to end
+    size_t adv2;
+    uint8_t c2 = cls_at(s, n, j, ctab, &adv2);
+    if (c2 & letters_mask) { run_mask = letters_mask; j += adv2; }
+    else if (c2 & ZC_N) { run_mask = ZC_N; j += adv2; }
+    else if (!(c2 & kStops)) { run_other = true; j += adv2; }
+    // else: whitespace run (falls through with run_mask=0, run_other=false)
+  } else if (c0 & letters_mask) {
+    run_mask = letters_mask;
+  } else if (c0 & ZC_N) {
+    run_mask = ZC_N;
+  } else if (!(c0 & kStops)) {
+    run_other = true;
+  }
+  if (run_mask) {
+    while (j < n) {
+      size_t a;
+      uint8_t c = cls_at(s, n, j, ctab, &a);
+      if (!(c & run_mask)) break;
+      j += a;
+    }
+    return j;
+  }
+  if (run_other) {
+    // [^\s\p{L}\p{N}]+ — note \p{M} continues this run in BOTH variants
+    while (j < n) {
+      size_t a;
+      uint8_t c = cls_at(s, n, j, ctab, &a);
+      if (c & kStops) break;
+      j += a;
+    }
+    return j;
+  }
+  // whitespace branches: \s+(?!\S) (greedy run minus its last char when
+  // followed by non-space) | \s+
+  size_t last = i;
+  j = i;
+  while (j < n) {
+    size_t a;
+    uint8_t c = cls_at(s, n, j, ctab, &a);
+    if (!(c & ZC_SPACE)) break;
+    last = j;
+    j += a;
+  }
+  if (j < n && last > i) return last;  // backtracked lookahead match
+  return j;  // run to end, or a single whitespace char before non-space
+}
+
+// Split one text into pretokens; writes end offsets. Returns count or -1 on
+// insufficient capacity. (Primarily a differential-test hook.)
+int64_t split_pretokens(const uint8_t* text, int64_t n, const uint8_t* ctab,
+                        int32_t letters_mask, int64_t* out_ends, int64_t cap) {
+  int64_t cnt = 0;
+  size_t i = 0;
+  while ((int64_t)i < n) {
+    size_t j = pretoken_end(text, (size_t)n, i, ctab, (uint8_t)letters_mask);
+    if (cnt >= cap) return -1;
+    out_ends[cnt++] = (int64_t)j;
+    i = j;
+  }
+  return cnt;
+}
+
+// Fused split + Viterbi encode over whole texts: the collator hot path in
+// one native call (reference splits in the HF Rust pre-tokenizer and
+// encodes in the Unigram model, zett/collator.py:166-175). Texts are
+// independent -> thread-sharded with thread-local memo caches keyed on
+// pretoken bytes. Writes flat ids + per-TEXT token counts. Returns total
+// ids, or -1 on insufficient capacity.
+int64_t uni_encode_texts(void* handle, const uint8_t* text,
+                         const int64_t* offsets, int64_t n_texts,
+                         const uint8_t* ctab, int32_t letters_mask,
+                         int32_t* out_ids, int64_t out_cap,
+                         int64_t* out_text_tokens, int32_t n_threads) {
+  auto* m = (UnigramModel*)handle;
+  if (n_threads <= 1 || n_texts < 64) n_threads = 1;
+  std::vector<std::vector<int32_t>> results((size_t)n_threads);
+  std::vector<std::thread> workers;
+  int64_t chunk = (n_texts + n_threads - 1) / n_threads;
+  auto work = [&](int t) {
+    std::unordered_map<std::string, std::vector<int32_t>> cache;
+    ViterbiScratch sc;
+    std::vector<int32_t>& out = results[(size_t)t];
+    std::vector<int32_t> buf;
+    std::string key;
+    int64_t lo = t * chunk, hi = std::min(n_texts, (t + 1) * chunk);
+    for (int64_t ti = lo; ti < hi; ++ti) {
+      const uint8_t* s = text + offsets[ti];
+      size_t n = (size_t)(offsets[ti + 1] - offsets[ti]);
+      int64_t n_tok = 0;
+      size_t i = 0;
+      while (i < n) {
+        size_t j = pretoken_end(s, n, i, ctab, (uint8_t)letters_mask);
+        key.assign((const char*)s + i, j - i);
+        auto it = cache.find(key);
+        const std::vector<int32_t>* ids;
+        if (it != cache.end()) {
+          ids = &it->second;
+        } else {
+          buf.clear();
+          uni_viterbi(m, s + i, j - i, buf, sc);
+          ids = &cache.emplace(std::move(key), buf).first->second;
+        }
+        out.insert(out.end(), ids->begin(), ids->end());
+        n_tok += (int64_t)ids->size();
+        i = j;
+      }
+      out_text_tokens[ti] = n_tok;
+    }
+  };
+  if (n_threads == 1) {
+    work(0);
+  } else {
+    for (int t = 0; t < n_threads; ++t) workers.emplace_back(work, t);
+    for (auto& w : workers) w.join();
+  }
+  int64_t total = 0;
+  for (auto& r : results) total += (int64_t)r.size();
+  if (total > out_cap) return -1;
+  int64_t pos = 0;
+  for (auto& r : results) {
+    std::memcpy(out_ids + pos, r.data(), r.size() * sizeof(int32_t));
+    pos += (int64_t)r.size();
+  }
+  return total;
 }
 
 // --------------------------------------------------------------------------

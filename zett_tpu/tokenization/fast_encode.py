@@ -97,27 +97,19 @@ class FastUnigramEncoder:
         """Returns (input_ids, attention_mask) int32 arrays. With max_length
         set, output is truncated+padded to (n_texts, max_length); otherwise
         arrays are padded to the longest sequence."""
-        findall = self._rx.findall
+        # fused native path: split-regex pretokenize + Viterbi + memoization
+        # all inside one threaded C++ call (zett_host.cpp uni_encode_texts)
         prepend = self.prepend
-        pretokens: List[bytes] = []
-        counts = np.empty(len(texts), dtype=np.int64)
-        for i, text in enumerate(texts):
-            if prepend and text:
-                text = prepend + text
-            pieces = findall(text)
-            pretokens.extend(p.encode("utf-8") for p in pieces)
-            counts[i] = len(pieces)
-
-        flat_ids, lens = self._native.encode_flat(pretokens)
+        prepend_b = prepend.encode("utf-8") if prepend else b""
+        raw_texts = [
+            (prepend_b + t.encode("utf-8")) if (prepend and t) else t.encode("utf-8")
+            for t in texts
+        ]
+        flat_ids, tokens_per_text = self._native.encode_texts(raw_texts)
         flat_ids = self._id_map[flat_ids]  # re-map trie ids -> vocab ids
-
-        # tokens per text: sum pretoken token-lens over each text's span
-        pre_ends = np.cumsum(counts)
-        bounds = np.concatenate([[0], pre_ends])
-        tok_cum = np.concatenate([[0], np.cumsum(lens, dtype=np.int64)])
-        text_tok_starts = tok_cum[bounds[:-1]]
-        text_tok_ends = tok_cum[bounds[1:]]
-        tokens_per_text = (text_tok_ends - text_tok_starts).astype(np.int64)
+        text_tok_starts = np.concatenate(
+            [[0], np.cumsum(tokens_per_text[:-1], dtype=np.int64)]
+        )
 
         prefix = np.asarray(self.prefix_ids if add_special_tokens else [], dtype=np.int32)
         suffix = np.asarray(self.suffix_ids if add_special_tokens else [], dtype=np.int32)
