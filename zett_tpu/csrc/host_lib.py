@@ -79,6 +79,13 @@ _lib.count_substrings.argtypes = [
     ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
     ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int32, ctypes.c_int32,
 ]
+_lib.count_substrings_texts.restype = ctypes.c_void_p
+_lib.count_substrings_texts.argtypes = [
+    ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+    ctypes.c_void_p, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+]
+_lib.countmap_merge.restype = ctypes.c_void_p
+_lib.countmap_merge.argtypes = [ctypes.c_void_p, ctypes.c_int64]
 _lib.countmap_size.restype = ctypes.c_int64
 _lib.countmap_size.argtypes = [ctypes.c_void_p]
 _lib.countmap_serialize.restype = ctypes.c_int64
@@ -295,19 +302,82 @@ def count_substrings_native(
         _ptr(cs_flat), _ptr(cs_offsets), max_length, stride,
     )
     try:
-        n = _lib.countmap_size(handle)
-        key_bytes = _lib.countmap_serialize(handle, None, None, None)
+        return _countmap_to_dict(handle)
+    finally:
+        _lib.countmap_free(handle)
+
+
+def _countmap_to_dict(handle) -> Dict[bytes, int]:
+    n = _lib.countmap_size(handle)
+    key_bytes = _lib.countmap_serialize(handle, None, None, None)
+    keys = np.empty(max(key_bytes, 1), dtype=np.uint8)
+    key_offsets = np.empty(n + 1, dtype=np.int64)
+    values = np.empty(max(n, 1), dtype=np.uint64)
+    _lib.countmap_serialize(handle, _ptr(keys), _ptr(key_offsets), _ptr(values))
+    raw = keys.tobytes()
+    return {
+        raw[key_offsets[i]: key_offsets[i + 1]]: int(values[i]) for i in range(n)
+    }
+
+
+class NativeCounts:
+    """Owning wrapper around a native CountMap handle (one sampler batch)."""
+
+    def __init__(self, handle):
+        self._handle = handle
+
+    def __len__(self) -> int:
+        return int(_lib.countmap_size(self._handle))
+
+    def __del__(self):
+        if getattr(self, "_handle", None) and _lib is not None:
+            _lib.countmap_free(self._handle)
+            self._handle = None
+
+    def to_dict(self) -> Dict[bytes, int]:
+        return _countmap_to_dict(self._handle)
+
+
+def count_substrings_texts_native(
+    texts: Sequence[bytes],
+    weights: Sequence[int],
+    max_length: int = 16,
+    stride: int = 1,
+    use_marks: bool = False,
+) -> NativeCounts:
+    """Fused split + substring enumeration over whole utf-8 texts (the
+    sampler counting stage). Returns an owning handle; merge + serialize
+    with merge_counts()."""
+    ctab = unicode_class_table()
+    data, offsets = _concat_bytes(texts)
+    w = np.asarray(weights, dtype=np.int32)
+    handle = _lib.count_substrings_texts(
+        _ptr(data), _ptr(offsets), len(texts), _ptr(w), _ptr(ctab),
+        LETTERS_WITH_MARKS if use_marks else LETTERS_NO_MARKS,
+        max_length, stride,
+    )
+    return NativeCounts(handle)
+
+
+def merge_counts(
+    batches: Sequence[NativeCounts],
+) -> Tuple[bytes, np.ndarray, np.ndarray]:
+    """Sum sliding-window count maps natively; returns (keys_blob,
+    key_offsets[n+1], values[n]) arrays for vectorized scoring."""
+    handles = (ctypes.c_void_p * len(batches))(
+        *[b._handle for b in batches]
+    )
+    merged = _lib.countmap_merge(handles, len(batches))
+    try:
+        n = _lib.countmap_size(merged)
+        key_bytes = _lib.countmap_serialize(merged, None, None, None)
         keys = np.empty(max(key_bytes, 1), dtype=np.uint8)
         key_offsets = np.empty(n + 1, dtype=np.int64)
         values = np.empty(max(n, 1), dtype=np.uint64)
-        _lib.countmap_serialize(handle, _ptr(keys), _ptr(key_offsets), _ptr(values))
-        raw = keys.tobytes()
-        return {
-            raw[key_offsets[i]: key_offsets[i + 1]]: int(values[i])
-            for i in range(n)
-        }
+        _lib.countmap_serialize(merged, _ptr(keys), _ptr(key_offsets), _ptr(values))
+        return keys.tobytes()[: key_bytes], key_offsets, values[:n]
     finally:
-        _lib.countmap_free(handle)
+        _lib.countmap_free(merged)
 
 
 class NativeAhoCorasick:

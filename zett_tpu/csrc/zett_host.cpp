@@ -535,21 +535,9 @@ struct CountMap {
   std::vector<uint64_t> values;
 };
 
-// Enumerate substrings of each pretoken starting at every `stride`-th
-// char-start boundary, byte-lengths 1..max_length-1. Score contribution =
-// weight * byte_weight(piece) where byte_weight = utf-8 length of the
-// byte-CHAR representation (1 for printable-latin bytes, 2 otherwise) —
-// matching rust_utils/src/lib.rs:148-149 token.len() on the mapped string.
-//
-// char_starts: byte positions (relative to each pretoken) where original
-// characters start, concatenated; char_start_offsets delimits per pretoken.
-void* count_substrings(const uint8_t* text, const int64_t* offsets,
-                       int64_t n_pretokens, const int32_t* weights,
-                       const int32_t* char_starts,
-                       const int64_t* char_start_offsets, int32_t max_length,
-                       int32_t stride) {
-  // byte weight table: GPT-2 keeps '!'..'~', 0xA1..0xAC, 0xAE..0xFF as
-  // 1-char (latin-1 chars are 2 utf-8 bytes when >= 0x80)
+// byte weight table: GPT-2 keeps '!'..'~', 0xA1..0xAC, 0xAE..0xFF as
+// 1-char (latin-1 chars are 2 utf-8 bytes when >= 0x80)
+static const uint8_t* byte_weight_tab() {
   static uint8_t wtab[256];
   static bool init = false;
   if (!init) {
@@ -563,6 +551,23 @@ void* count_substrings(const uint8_t* text, const int64_t* offsets,
     }
     init = true;
   }
+  return wtab;
+}
+
+// Enumerate substrings of each pretoken starting at every `stride`-th
+// char-start boundary, byte-lengths 1..max_length-1. Score contribution =
+// weight * byte_weight(piece) where byte_weight = utf-8 length of the
+// byte-CHAR representation (1 for printable-latin bytes, 2 otherwise) —
+// matching rust_utils/src/lib.rs:148-149 token.len() on the mapped string.
+//
+// char_starts: byte positions (relative to each pretoken) where original
+// characters start, concatenated; char_start_offsets delimits per pretoken.
+void* count_substrings(const uint8_t* text, const int64_t* offsets,
+                       int64_t n_pretokens, const int32_t* weights,
+                       const int32_t* char_starts,
+                       const int64_t* char_start_offsets, int32_t max_length,
+                       int32_t stride) {
+  const uint8_t* wtab = byte_weight_tab();
   auto* cm = new CountMap();
   cm->counts.reserve(1 << 20);
   std::string piece;
@@ -584,6 +589,68 @@ void* count_substrings(const uint8_t* text, const int64_t* offsets,
     }
   }
   return cm;
+}
+
+// Fused variant: split whole texts with the native scanner (no-marks regex,
+// matching rust_utils/src/lib.rs:27) and derive codepoint starts from the
+// UTF-8 decode — the entire sampler counting stage in one native call
+// (replaces Python pretokenize_bytes + per-piece char-start lists).
+void* count_substrings_texts(const uint8_t* text, const int64_t* offsets,
+                             int64_t n_texts, const int32_t* weights,
+                             const uint8_t* ctab, int32_t letters_mask,
+                             int32_t max_length, int32_t stride) {
+  const uint8_t* wtab = byte_weight_tab();
+  auto* cm = new CountMap();
+  cm->counts.reserve(1 << 20);
+  std::string piece;
+  std::vector<int32_t> starts;
+  for (int64_t ti = 0; ti < n_texts; ++ti) {
+    const uint8_t* s = text + offsets[ti];
+    size_t n = (size_t)(offsets[ti + 1] - offsets[ti]);
+    uint64_t w = (uint64_t)weights[ti];
+    size_t i = 0;
+    while (i < n) {
+      size_t j = pretoken_end(s, n, i, ctab, (uint8_t)letters_mask);
+      starts.clear();
+      size_t p = i;
+      while (p < j) {
+        starts.push_back((int32_t)(p - i));
+        size_t a;
+        u8_decode(s, j, p, &a);
+        p += a;
+      }
+      const uint8_t* ps = s + i;
+      int64_t plen = (int64_t)(j - i);
+      for (size_t ci = 0; ci < starts.size(); ci += (size_t)stride) {
+        int64_t start = starts[ci];
+        int64_t upper = std::min((int64_t)(max_length - 1), plen - start);
+        uint64_t wsum = 0;
+        for (int64_t k = 1; k <= upper; ++k) {
+          wsum += wtab[ps[start + k - 1]];
+          piece.assign((const char*)(ps + start), (size_t)k);
+          cm->counts[piece] += w * wsum;
+        }
+      }
+      i = j;
+    }
+  }
+  return cm;
+}
+
+// Sum several count maps into a fresh one (the sliding-window merge,
+// reference rust_utils/src/lib.rs:193-206 — previously reconstructed as
+// Python dicts, which dominated sample_tokenizer time).
+void* countmap_merge(void** handles, int64_t n) {
+  auto* out = new CountMap();
+  size_t total = 0;
+  for (int64_t i = 0; i < n; ++i) total += ((CountMap*)handles[i])->counts.size();
+  out->counts.reserve(total);
+  for (int64_t i = 0; i < n; ++i) {
+    for (const auto& kv : ((CountMap*)handles[i])->counts) {
+      out->counts[kv.first] += kv.second;
+    }
+  }
+  return out;
 }
 
 int64_t countmap_size(void* handle) {

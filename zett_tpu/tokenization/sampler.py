@@ -129,21 +129,37 @@ class TokenizerSampler:
         rng: Optional[np.random.Generator] = None,
     ) -> List[Tuple[str, float]]:
         rng = rng or np.random.default_rng()
-        current = _count_substrings(
-            texts_with_counts, max_length, stride, self.use_native
-        )
+        if self.use_native:
+            # fused native path: split + substring counting in one C++ call,
+            # counts stay native (no million-entry Python dicts)
+            texts_b = [(" " + t).encode("utf-8") for t in texts_with_counts]
+            current = _host_lib.count_substrings_texts_native(
+                texts_b, list(texts_with_counts.values()), max_length, stride
+            )
+        else:
+            current = _count_substrings_py(texts_with_counts, max_length, stride)
 
         maybe_prev = self.seed_cache.pop() if (pop_prev and self.seed_cache) else None
         self.seed_cache.appendleft(current)
 
         seed_pieces: List[Tuple[str, float]] = []
         if pop_prev:
-            merged: Dict[bytes, int] = {}
-            for batch_counts in self.seed_cache:
-                for k, v in batch_counts.items():
-                    merged[k] = merged.get(k, 0) + v
+            if self.use_native:
+                keys_blob, key_offsets, values_u = _host_lib.merge_counts(
+                    list(self.seed_cache)
+                )
+                values = values_u.astype(np.float64)
+                keys = None
+            else:
+                merged: Dict[bytes, int] = {}
+                for batch_counts in self.seed_cache:
+                    for k, v in batch_counts.items():
+                        merged[k] = merged.get(k, 0) + v
+                values = np.fromiter(
+                    merged.values(), dtype=np.float64, count=len(merged)
+                )
+                keys = list(merged.keys())
 
-            values = np.fromiter(merged.values(), dtype=np.float64, count=len(merged))
             score_sum = float(values.sum()) if len(values) else 1.0
             min_score = float(values.min()) if len(values) else 1.0
             min_log_prob = float(np.log(min_score / score_sum)) if score_sum else 0.0
@@ -164,18 +180,35 @@ class TokenizerSampler:
                     for c2 in ws:
                         seed_pieces.append((c2 + c1 * i, 0.0))
 
-            keys = list(merged.keys())
-            ws_raw = set(b" \n\t")
-            for idx in order:
-                raw = keys[idx]
-                if len(raw) == 1:
-                    continue  # single chars already added via the alphabet
-                n_ws = sum(1 for b in raw if b in ws_raw)
-                if n_ws >= 2:
-                    continue  # whitespace runs already added
-                seed_pieces.append((bytes_to_byte_chars(raw), float(scores[idx])))
-                if len(seed_pieces) >= seed_size:
-                    break
+            if keys is None:
+                # vectorized eligibility: skip 1-byte pieces (alphabet covers
+                # them) and pieces with >= 2 whitespace bytes (runs covered)
+                lens = key_offsets[1:] - key_offsets[:-1]
+                blob = np.frombuffer(keys_blob, dtype=np.uint8)
+                is_ws = (blob == 0x20) | (blob == 0x0A) | (blob == 0x09)
+                ws_cum = np.concatenate([[0], np.cumsum(is_ws, dtype=np.int64)])
+                n_ws = ws_cum[key_offsets[1:]] - ws_cum[key_offsets[:-1]]
+                eligible = (lens > 1) & (n_ws < 2)
+                order_f = order[eligible[order]]
+                if len(order_f):
+                    n_take = max(1, seed_size - len(seed_pieces))
+                    for idx in order_f[:n_take]:
+                        raw = keys_blob[key_offsets[idx]: key_offsets[idx + 1]]
+                        seed_pieces.append(
+                            (bytes_to_byte_chars(raw), float(scores[idx]))
+                        )
+            else:
+                ws_raw = set(b" \n\t")
+                for idx in order:
+                    raw = keys[idx]
+                    if len(raw) == 1:
+                        continue  # single chars already added via the alphabet
+                    n_ws = sum(1 for b in raw if b in ws_raw)
+                    if n_ws >= 2:
+                        continue  # whitespace runs already added
+                    seed_pieces.append((bytes_to_byte_chars(raw), float(scores[idx])))
+                    if len(seed_pieces) >= seed_size:
+                        break
 
         if not push_current:
             self.seed_cache.popleft()
