@@ -193,7 +193,12 @@ def bench_device_retokenize(texts, pieces_chars, scores):
     }
 
 
-def bench_hypernet(vocab=32768, maxlen=16, hidden=768, layers=3):
+def bench_hypernet(vocab=32768, maxlen=16, hidden=768, layers=3, lengths=None):
+    """Hypernet ms per 32k-token vocab, measured the way the transfer path
+    actually runs: tokens length-bucketed to multiples of 8 (trailing pads
+    are masked+CLS-pooled away, so trimming is exact — see
+    transfer/core.py batched_inference). `lengths` is the realistic
+    surface-length distribution (taken from the sampled vocab's pieces)."""
     import numpy as np
 
     import jax
@@ -211,43 +216,66 @@ def bench_hypernet(vocab=32768, maxlen=16, hidden=768, layers=3):
     hn = Hypernet(cfg, dtype=jnp.bfloat16)
     rng = np.random.default_rng(0)
     batch = 8192
-    sf = rng.integers(1, 4096, size=(batch, maxlen)).astype(np.int32)
-    sf[:, 6:] = 0
-    priors = np.zeros(batch, dtype=np.float32)
+    if lengths is None:
+        lengths = np.full(vocab, 6, dtype=np.int64)
+    else:
+        lengths = np.clip(np.asarray(lengths, dtype=np.int64), 1, maxlen)
+        lengths = np.resize(lengths, vocab)
 
     cpu = jax.local_devices(backend="cpu")[0]
     with jax.default_device(cpu):
-        params = hn.init(jax.random.PRNGKey(0), jnp.asarray(sf[:8]), jnp.asarray(priors[:8]))
+        sf0 = rng.integers(1, 4096, size=(8, maxlen)).astype(np.int32)
+        params = hn.init(
+            jax.random.PRNGKey(0), jnp.asarray(sf0), jnp.asarray(np.zeros(8, np.float32))
+        )
     # params resident on the chip: without this every call re-ships ~85MB of
     # fp32 params through the device tunnel (7x the actual forward time)
     params = jax.device_put(params, jax.devices()[0])
     jax.block_until_ready(params)
 
-    n_batches = vocab // batch
-    sf_full = np.tile(sf, (n_batches, 1)).reshape(n_batches, batch, maxlen)
-    pr_full = np.tile(priors, n_batches).reshape(n_batches, batch)
+    # bucket tokens by width (multiple of 8), pad each bucket to full batches
+    widths = np.minimum((np.ceil(lengths / 8) * 8).astype(int), maxlen)
+    groups = []
+    for w in np.unique(widths):
+        lens_w = lengths[widths == w]
+        n_batches = max(1, -(-len(lens_w) // batch))
+        lens_w = np.resize(lens_w, n_batches * batch)
+        sf = rng.integers(1, 4096, size=(len(lens_w), int(w))).astype(np.int32)
+        sf[np.arange(int(w))[None, :] >= lens_w[:, None]] = 0
+        groups.append(
+            (
+                jnp.asarray(sf.reshape(n_batches, batch, int(w))),
+                jnp.asarray(np.zeros((n_batches, batch), np.float32)),
+            )
+        )
 
-    # ONE dispatch for the whole 32k vocab: scan over chunks inside jit
-    # (per-call dispatch through the device tunnel dominates otherwise).
+    # ONE dispatch per bucket for the whole vocab: scan over chunks inside
+    # jit (per-call dispatch through the device tunnel dominates otherwise).
     # NB: through the remote-device tunnel block_until_ready() does NOT sync;
     # a scalar fetch (float()) is the only reliable barrier, so the jit
     # returns a checksum.
     @jax.jit
-    def fwd32k(p, s4, pr4):
+    def fwd(p, s4, pr4):
         def body(_, xs):
             ss, pp = xs
             return None, hn.apply(p, ss, pp)[0].sum()
         _, outs = jax.lax.scan(body, None, (s4, pr4))
         return outs.sum()
 
-    s_d, p_d = jnp.asarray(sf_full), jnp.asarray(pr_full)
-    float(fwd32k(params, s_d, p_d))  # compile
+    for s_d, p_d in groups:
+        float(fwd(params, s_d, p_d))  # compile each bucket width
     ms_per_32k = float("inf")
     for _ in range(5):  # best-of-5: the shared chip is noisy
         t0 = time.time()
-        float(fwd32k(params, s_d, p_d))
+        for s_d, p_d in groups:
+            float(fwd(params, s_d, p_d))
         ms_per_32k = min(ms_per_32k, (time.time() - t0) * 1000)
-    return {"hypernet_ms_per_32k_vocab": ms_per_32k, "device": str(jax.devices()[0])}
+    n_rows = sum(int(s.shape[0] * s.shape[1]) for s, _ in groups)
+    return {
+        "hypernet_ms_per_32k_vocab": ms_per_32k,
+        "hypernet_rows_processed": n_rows,
+        "device": str(jax.devices()[0]),
+    }
 
 
 def main():
@@ -259,7 +287,10 @@ def main():
     except Exception as e:  # noqa: BLE001
         device_retok = {"device_retokenize_bytes_per_s": None, "error": str(e)}
     try:
-        hyper = bench_hypernet()
+        # realistic surface-length distribution from the sampled vocab
+        pieces = bench_retokenize.last_vocab[0]
+        lengths = [max(1, len(p)) for p in pieces] or None
+        hyper = bench_hypernet(lengths=lengths)
     except Exception as e:  # noqa: BLE001 - bench must still print its line
         hyper = {"hypernet_ms_per_32k_vocab": None, "device": f"error: {e}"}
 

@@ -73,6 +73,36 @@ class TestBatchedInference:
         )
         np.testing.assert_allclose(emb_in, emb2, atol=1e-5)
 
+    def test_length_bucketing_exact(self):
+        """Trimming trailing pad columns is numerically exact (masked
+        attention + CLS pooling), so the bucketed path must match the
+        full-width path per token."""
+        model, params, cfg = _hn()
+        V = 60
+        rng = np.random.default_rng(3)
+        sf = rng.integers(1, 200, size=(V, 8)).astype(np.int32)
+        # realistic mix: most tokens short, a few full-width
+        lens = rng.choice([2, 3, 4, 8], size=V, p=[0.4, 0.3, 0.2, 0.1])
+        for i in range(V):
+            sf[i, lens[i]:] = 0
+        sf[5] = 0  # all-pad row must not crash either path
+        priors = np.zeros(V, dtype=np.float32)
+
+        @jax.jit
+        def predict(sf, pr, src, lidx):
+            return model.apply(params, sf, pr)
+
+        full, _, bias_full = batched_inference(
+            predict, sf, priors, None, None, batch_size=16,
+            rng=np.random.default_rng(1),
+        )
+        bucketed, _, bias_b = batched_inference(
+            predict, sf, priors, None, None, batch_size=16,
+            rng=np.random.default_rng(2), bucket_multiple=4, pad_id=0,
+        )
+        np.testing.assert_allclose(full, bucketed, atol=1e-5)
+        np.testing.assert_allclose(bias_full, bias_b, atol=1e-5)
+
     def test_batch_sampling_averages(self):
         model, params, cfg = _hn()
         V = 40

@@ -77,6 +77,8 @@ def batched_inference(
     min_k: int = 4,
     mesh: Optional[Mesh] = None,
     rng=None,
+    bucket_multiple: int = 0,
+    pad_id: int = 0,
 ):
     """Run the hypernet over the full vocab in fixed-size batches.
 
@@ -84,28 +86,57 @@ def batched_inference(
     sampling the vocab is shuffled, padded and chunked; with it, overlapping
     random batches are drawn and per-token predictions averaged
     (reference: scripts/transfer.py:54-124).
+
+    bucket_multiple > 0 groups tokens by effective surface length and trims
+    trailing pad columns to the next multiple (TPU optimization: trailing
+    pads are attention-masked and CLS-pooled away, so trimming is exact —
+    and most real vocab tokens fit in half the max width, nearly halving
+    encoder FLOPs). Only applies to the non-sampling path; incompatible
+    with concat_last_hidden_state pooling (caller must pass 0 then).
     """
     rng = rng or np.random.default_rng(1234)
     n = len(surface_forms)
+    maxlen = surface_forms.shape[1]
 
     if not do_batch_sampling:
-        permutation = rng.permutation(n)
-        n_pad = (-n) % batch_size
-        padded = np.concatenate([permutation, permutation[:n_pad]])
-        sample_indices = padded.reshape(-1, batch_size)
+        if bucket_multiple:
+            nz = surface_forms != pad_id
+            any_nz = nz.any(axis=1)
+            trailing = np.argmax(nz[:, ::-1], axis=1)
+            # all-pad rows (fully masked attention degenerates to a uniform
+            # average over width) keep the full width so their output is
+            # unchanged vs. the unbucketed path
+            eff_len = np.where(any_nz, maxlen - trailing, maxlen)
+            widths = np.minimum(
+                (np.ceil(eff_len / bucket_multiple) * bucket_multiple).astype(int),
+                maxlen,
+            )
+            batches = []
+            for w in np.unique(widths):
+                idx = rng.permutation(np.nonzero(widths == w)[0])
+                total = len(idx) + ((-len(idx)) % batch_size)
+                idx = np.resize(idx, total)  # cycle to pad the last chunk
+                for chunk in idx.reshape(-1, batch_size):
+                    batches.append((chunk, int(w)))
+        else:
+            permutation = rng.permutation(n)
+            n_pad = (-n) % batch_size
+            padded = np.concatenate([permutation, permutation[:n_pad]])
+            batches = [(chunk, maxlen) for chunk in padded.reshape(-1, batch_size)]
         weights = np.zeros(n)
     else:
         n_samples = int(np.ceil(n / batch_size)) * min_k
         n_samples = (n_samples // min_k) * min_k
         sample_indices = get_sample_indices(n, priors, batch_size, min_k, n_samples, rng)
+        batches = [(chunk, maxlen) for chunk in sample_indices]
         weights = np.zeros(n)
 
     emb_in_acc = None
     emb_out_acc = None
     bias_acc = None
 
-    for batch_idx in sample_indices:
-        sf = jnp.asarray(surface_forms[batch_idx])
+    for batch_idx, width in batches:
+        sf = jnp.asarray(surface_forms[batch_idx][:, :width])
         pr = jnp.asarray(priors[batch_idx])
         if mesh is not None:
             sharding = NamedSharding(mesh, P("data", None))
@@ -210,6 +241,10 @@ def transfer(
         min_k=min_k,
         mesh=mesh,
         rng=rng,
+        # trailing-pad trimming is exact with CLS pooling; the concat-pooling
+        # head consumes every position, so it keeps the full width
+        bucket_multiple=0 if cfg.concat_last_hidden_state else 8,
+        pad_id=cfg.pad_token_id,
     )
 
     # special tokens: copy source embeddings directly
