@@ -13,28 +13,68 @@ import time
 
 
 def make_corpus(target_bytes: int = 2_000_000):
+    """Synthetic corpus with realistic lexical statistics: a Zipf-distributed
+    lexicon of tens of thousands of distinct word forms (real text has
+    10k-100k unique pretokens per MB-scale shard; an earlier ~170-word corpus
+    made every dedup/memoization path look infinitely fast and starved the
+    device retokenizer of unique rows)."""
     rng = random.Random(0)
-    words = (
-        "the of and to in is was he for it with as his on be at by this had not "
-        "are but from or have an they which one you were her all she there would "
-        "their we him been has when who will more no if out so said what up its "
-        "about into than them can only other new some could time these two may "
-        "then do first any my now such like our over man me even most made after "
-        "also did many before must through back years where much your way well "
-        "down should because each just those people Mr how too little state good "
-        "very make world still own see men work long get here between both life "
-        "being under never day same another know while last might us great old "
-        "year off come since against go came right used take three"
+    function_words = (
+        "the of and to in is was he for it with as his on be at by this had "
+        "not are but from or have an they which one you were her all she "
+        "there would their we him been has when who will more no if out so"
     ).split()
-    extra = ["Zürich", "naïve", "café", "日本語", "привет", "🤖", "don't", "it's", "1234", "3.14"]
+    onsets = (
+        "b br c ch cl cr d dr f fl fr g gl gr h j k kl l m n p pl pr qu r s "
+        "sc sh sl sm sp st str t th tr v w wh z"
+    ).split()
+    nuclei = "a e i o u ai au ea ee ie oa oo ou".split()
+    codas = (
+        " b ck ct d ft g l ld ll lt m mp n nd ng nk nt p r rd rk rm rn rt s "
+        "sh sk sp ss st t th x"
+    ).split(" ")
+    stems = [o + n + c for o in onsets for n in nuclei for c in codas]
+    rng.shuffle(stems)
+    suffixes = ["", "", "", "s", "ed", "ing", "er", "est", "ly", "ness", "ation"]
+    lexicon = [s + rng.choice(suffixes) for s in stems]
+    extra = ["Zürich", "naïve", "café", "日本語", "привет", "🤖", "don't", "it's"]
+
+    # Zipf weights over the lexicon; function words get the head mass
+    n_lex = len(lexicon)
+    cum = []
+    total_w = 0.0
+    for i in range(n_lex):
+        total_w += 1.0 / (i + 20)
+        cum.append(total_w)
+
     texts = []
     total = 0
     while total < target_bytes:
         n = rng.randint(8, 60)
-        parts = [rng.choice(words) for _ in range(n)]
-        if rng.random() < 0.1:
-            parts.insert(rng.randrange(len(parts)), rng.choice(extra))
-        t = " ".join(parts) + "."
+        parts = []
+        for _ in range(n):
+            r = rng.random()
+            if r < 0.45:
+                parts.append(rng.choice(function_words))
+            elif r < 0.97:
+                # Zipf draw from the synthetic lexicon
+                x = rng.random() * total_w
+                lo, hi = 0, n_lex - 1
+                while lo < hi:
+                    mid = (lo + hi) // 2
+                    if cum[mid] < x:
+                        lo = mid + 1
+                    else:
+                        hi = mid
+                w = lexicon[lo]
+                if rng.random() < 0.05:
+                    w = w.capitalize()
+                parts.append(w)
+            elif r < 0.99:
+                parts.append(str(rng.randint(0, 99999)))
+            else:
+                parts.append(rng.choice(extra))
+        t = " ".join(parts) + rng.choice([".", ".", "!", "?", ","])
         texts.append(t)
         total += len(t.encode("utf-8"))
     return texts

@@ -106,3 +106,18 @@ def test_sharded_counting_psum(vocab, pretokens):
     counts = count_token_usage(bk, bi, lens_s, dev.n_pieces)
     expected = dev.token_counts(pts)
     np.testing.assert_array_equal(np.asarray(counts), expected)
+
+
+def test_cuckoo_build_native_matches_python():
+    """The C++ cuckoo table build is bit-identical to the Python reference
+    (same fingerprints, same kick order), so lookups behave identically."""
+    from zett_tpu.ops.device_viterbi import build_vocab_table
+
+    rng = np.random.default_rng(7)
+    pieces = sorted({rng.bytes(int(rng.integers(1, 12))) for _ in range(3000)})
+    scores = rng.normal(size=len(pieces)).tolist()
+    nat = build_vocab_table(pieces, scores, use_native=True)
+    py = build_vocab_table(pieces, scores, use_native=False)
+    np.testing.assert_array_equal(nat.table_a, py.table_a)
+    np.testing.assert_array_equal(nat.table_b, py.table_b)
+    assert nat.max_piece_len == py.max_piece_len

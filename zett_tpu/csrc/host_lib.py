@@ -93,6 +93,12 @@ _lib.countmap_serialize.argtypes = [
     ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
 ]
 _lib.countmap_free.argtypes = [ctypes.c_void_p]
+_lib.cuckoo_build.restype = ctypes.c_int32
+_lib.cuckoo_build.argtypes = [
+    ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+    ctypes.c_int64, ctypes.c_int32, ctypes.c_void_p, ctypes.c_void_p,
+    ctypes.c_void_p,
+]
 _lib.ac_new.restype = ctypes.c_void_p
 _lib.ac_new.argtypes = [
     ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
@@ -378,6 +384,26 @@ def merge_counts(
         return keys.tobytes()[: key_bytes], key_offsets, values[:n]
     finally:
         _lib.countmap_free(merged)
+
+
+def cuckoo_build_native(
+    pieces: Sequence[bytes], scores: Sequence[float], M: int, max_kicks: int = 64
+):
+    """Build the device retokenizer's cuckoo vocab table natively. Returns
+    (table_a, table_b, max_piece_len) or None if M is too small (caller
+    doubles and retries). Bit-identical to the Python reference build."""
+    data, offsets = _concat_bytes(pieces)
+    scores_arr = np.asarray(scores, dtype=np.float32)
+    ta = np.empty((M, 4), dtype=np.int32)
+    tb = np.empty((M, 4), dtype=np.int32)
+    maxlen = np.zeros(1, dtype=np.int32)
+    ok = _lib.cuckoo_build(
+        _ptr(data), _ptr(offsets), _ptr(scores_arr), len(pieces), M,
+        max_kicks, _ptr(ta), _ptr(tb), _ptr(maxlen),
+    )
+    if not ok:
+        return None
+    return ta, tb, int(maxlen[0])
 
 
 class NativeAhoCorasick:

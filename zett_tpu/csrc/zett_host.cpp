@@ -683,6 +683,81 @@ int64_t countmap_serialize(void* handle, uint8_t* keys, int64_t* offsets,
 void countmap_free(void* handle) { delete (CountMap*)handle; }
 
 // --------------------------------------------------------------------------
+// Cuckoo vocab-table build for the device retokenizer
+// (ops/device_viterbi.py build_vocab_table — a new table is built per
+// sampled tokenizer, i.e. once per training batch, so the Python kick loop
+// was on the hot path)
+// --------------------------------------------------------------------------
+
+static inline uint32_t zmix32(uint32_t h) {
+  h ^= h >> 16;
+  h *= 0x85EBCA6Bu;
+  h ^= h >> 13;
+  h *= 0xC2B2AE35u;
+  h ^= h >> 16;
+  return h;
+}
+
+// Fills table_a/table_b (M, 4) int32 rows [key1, key2, score_bits, piece_id].
+// Returns 1 on success, 0 if placement failed (caller doubles M and
+// retries), writing the max piece byte-length to out_maxlen. Mirrors the
+// Python reference implementation exactly (same fingerprints, same kick
+// order) so the tables are bit-identical.
+int32_t cuckoo_build(const uint8_t* piece_data, const int64_t* offsets,
+                     const float* scores, int64_t n_pieces, int64_t M,
+                     int32_t max_kicks, int32_t* table_a, int32_t* table_b,
+                     int32_t* out_maxlen) {
+  std::memset(table_a, 0, (size_t)M * 4 * sizeof(int32_t));
+  std::memset(table_b, 0, (size_t)M * 4 * sizeof(int32_t));
+  auto* ta = (uint32_t*)table_a;
+  auto* tb = (uint32_t*)table_b;
+  std::unordered_map<uint64_t, bool> seen;
+  seen.reserve((size_t)n_pieces * 2);
+  int32_t max_len = 1;
+  const uint32_t P1 = 0x01000193u, P2 = 0x85EBCA6Bu;
+  const uint32_t OFF1 = 0x811C9DC5u, OFF2 = 0x9E3779B9u, SALT_B = 0x7FEB352Du;
+  for (int64_t pid = 0; pid < n_pieces; ++pid) {
+    const uint8_t* begin = piece_data + offsets[pid];
+    const uint8_t* end = piece_data + offsets[pid + 1];
+    if (begin == end) continue;
+    uint32_t h1 = OFF1, h2 = OFF2;
+    for (const uint8_t* p = begin; p != end; ++p) {
+      h1 = h1 * P1 + (uint32_t)(*p) + 1u;
+      h2 = h2 * P2 + (uint32_t)(*p) + 1u;
+    }
+    if (h1 == 0) h1 = 1;
+    uint64_t fp = ((uint64_t)h1 << 32) | h2;
+    if (seen.count(fp)) continue;  // first occurrence wins
+    seen.emplace(fp, true);
+    if ((int32_t)(end - begin) > max_len) max_len = (int32_t)(end - begin);
+    uint32_t score_bits;
+    float s = scores[pid];
+    std::memcpy(&score_bits, &s, 4);
+    uint32_t cur[4] = {h1, h2, score_bits, (uint32_t)pid};
+    int side = 0;
+    bool placed = false;
+    for (int32_t kick = 0; kick < max_kicks; ++kick) {
+      uint32_t* t = side == 0 ? ta : tb;
+      uint32_t key = side == 0 ? cur[0] : (cur[1] ^ SALT_B);
+      uint64_t slot = (uint64_t)(zmix32(key) % (uint32_t)M) * 4;
+      if (t[slot] == 0) {
+        std::memcpy(t + slot, cur, 16);
+        placed = true;
+        break;
+      }
+      uint32_t tmp[4];
+      std::memcpy(tmp, t + slot, 16);
+      std::memcpy(t + slot, cur, 16);
+      std::memcpy(cur, tmp, 16);
+      side = 1 - side;
+    }
+    if (!placed) return 0;
+  }
+  *out_maxlen = max_len;
+  return 1;
+}
+
+// --------------------------------------------------------------------------
 // Aho-Corasick multi-pattern counting (substring prior)
 // --------------------------------------------------------------------------
 

@@ -80,10 +80,25 @@ class CuckooTable:
 
 
 def build_vocab_table(
-    pieces: Sequence[bytes], scores: Sequence[float], max_kicks: int = 64
+    pieces: Sequence[bytes], scores: Sequence[float], max_kicks: int = 64,
+    use_native: bool = True,
 ) -> CuckooTable:
     n = max(1, len(pieces))
     M = 1 << int(np.ceil(np.log2(max(n, 32))))
+    if use_native:
+        try:
+            from zett_tpu.csrc import host_lib as _hl
+        except Exception:  # pragma: no cover - C++ lib optional
+            _hl = None
+        if _hl is not None:
+            # native build (a fresh table per sampled tokenizer = once per
+            # training batch); bit-identical to the Python loop below
+            while True:
+                out = _hl.cuckoo_build_native(pieces, scores, M, max_kicks)
+                if out is not None:
+                    ta, tb, max_len = out
+                    return CuckooTable(ta, tb, max_len)
+                M *= 2
     entries = []
     max_len = 1
     seen = set()
@@ -270,6 +285,36 @@ def viterbi_device_pallas(
     return best, bk[:, : L + 1], bi[:, : L + 1]
 
 
+@jax.jit
+def backtrack_device(back_k, back_id, lens):
+    """Device-side backtrack: follow each row's segmentation chain with a
+    scan and emit piece ids in REVERSE order, padded with -1. Fetching this
+    single (B, L) array costs half the bytes of the two backpointer arrays —
+    the tunnel/host transfer is what dominates the end-to-end device path."""
+    L = back_k.shape[1] - 1
+
+    def body(j, _):
+        k = jnp.take_along_axis(back_k, j[:, None], axis=1)[:, 0]
+        pid = jnp.take_along_axis(back_id, j[:, None], axis=1)[:, 0]
+        active = (j > 0) & (k > 0)
+        out = jnp.where(active, pid, -1)  # -1 pad; real pids are >=0 or -2 (unk)
+        j = jnp.where(active, j - k, 0)
+        return j, out
+
+    _, ids_rev = jax.lax.scan(body, lens, None, length=L)
+    return ids_rev.T  # (B, L), reversed segmentation order
+
+
+def unpack_backtrack(ids_rev: np.ndarray) -> List[List[int]]:
+    """Host unpack of backtrack_device output -> per-row id lists.
+    Vectorized: ids occupy a prefix of each reversed row, so flipping the
+    axis leaves the forward ids as a suffix — one slice+tolist per row."""
+    L = ids_rev.shape[1]
+    fwd = ids_rev[:, ::-1]
+    counts = L - (ids_rev != -1).sum(axis=1)
+    return [row[c:].tolist() for row, c in zip(fwd, counts)]
+
+
 def backtrack_ids(
     back_k: np.ndarray, back_id: np.ndarray, lens: np.ndarray
 ) -> List[List[int]]:
@@ -355,7 +400,10 @@ class DeviceRetokenizer:
         _, bk, bi = viterbi_device(
             jnp.asarray(rows), jnp.asarray(lens), ta, tb, self.unk_score, K=self.K
         )
-        return backtrack_ids(np.asarray(bk)[:n], np.asarray(bi)[:n], lens[:n])
+        # backtrack on device; fetch ONE (B, L) ids array instead of both
+        # backpointer arrays (the host<->device transfer dominates)
+        ids_rev = np.asarray(backtrack_device(bk, bi, jnp.asarray(lens)))
+        return unpack_backtrack(ids_rev[:n])
 
     def _segmentations(self, pretokens: Sequence[bytes]) -> List[List[int]]:
         if self.memoize:
