@@ -273,13 +273,17 @@ def bench_hypernet(vocab=32768, maxlen=16, hidden=768, layers=3, lengths=None):
     params = jax.device_put(params, jax.devices()[0])
     jax.block_until_ready(params)
 
-    # bucket tokens by width (multiple of 8), pad each bucket to full batches
-    widths = np.minimum((np.ceil(lengths / 8) * 8).astype(int), maxlen)
+    # sort by length, chunk at full batch size, each chunk at its max width
+    # rounded to a multiple of 4 (matching batched_inference) — one partial
+    # batch total; chunks of equal width share a scanned jit
+    lengths = np.sort(lengths)
+    lengths = np.resize(lengths, len(lengths) + (-len(lengths)) % batch)
+    chunk_lens = lengths.reshape(-1, batch)
+    chunk_w = np.minimum(-(-chunk_lens.max(axis=1) // 4) * 4, maxlen).astype(int)
     groups = []
-    for w in np.unique(widths):
-        lens_w = lengths[widths == w]
-        n_batches = max(1, -(-len(lens_w) // batch))
-        lens_w = np.resize(lens_w, n_batches * batch)
+    for w in np.unique(chunk_w):
+        lens_w = chunk_lens[chunk_w == w].reshape(-1)
+        n_batches = len(lens_w) // batch
         sf = rng.integers(1, 4096, size=(len(lens_w), int(w))).astype(np.int32)
         sf[np.arange(int(w))[None, :] >= lens_w[:, None]] = 0
         groups.append(

@@ -107,17 +107,17 @@ def batched_inference(
             # average over width) keep the full width so their output is
             # unchanged vs. the unbucketed path
             eff_len = np.where(any_nz, maxlen - trailing, maxlen)
-            widths = np.minimum(
-                (np.ceil(eff_len / bucket_multiple) * bucket_multiple).astype(int),
-                maxlen,
-            )
+            # sort by length and chunk at the FULL batch size; each chunk
+            # runs at its own max width (rounded up to the multiple). This
+            # wastes only one partial batch total, unlike per-width grouping
+            # which pads every width bucket to a full batch.
+            order = np.argsort(eff_len, kind="stable")
+            order = np.resize(order, len(order) + (-len(order)) % batch_size)
             batches = []
-            for w in np.unique(widths):
-                idx = rng.permutation(np.nonzero(widths == w)[0])
-                total = len(idx) + ((-len(idx)) % batch_size)
-                idx = np.resize(idx, total)  # cycle to pad the last chunk
-                for chunk in idx.reshape(-1, batch_size):
-                    batches.append((chunk, int(w)))
+            for chunk in order.reshape(-1, batch_size):
+                w = int(eff_len[chunk].max())
+                w = min(-(-w // bucket_multiple) * bucket_multiple, maxlen)
+                batches.append((chunk, w))
         else:
             permutation = rng.permutation(n)
             n_pad = (-n) % batch_size
@@ -242,8 +242,10 @@ def transfer(
         mesh=mesh,
         rng=rng,
         # trailing-pad trimming is exact with CLS pooling; the concat-pooling
-        # head consumes every position, so it keeps the full width
-        bucket_multiple=0 if cfg.concat_last_hidden_state else 8,
+        # head consumes every position, so it keeps the full width. Forward
+        # time is linear in width, so multiple-of-4 buckets (<=4 compiles for
+        # maxlen 16) capture most of the padding savings.
+        bucket_multiple=0 if cfg.concat_last_hidden_state else 4,
         pad_id=cfg.pad_token_id,
     )
 
