@@ -116,6 +116,9 @@ class Collator:
         self.inner_collator = inner_collator
         self.is_validation = is_validation
         self.rng = np.random.default_rng(seed)
+        # piece -> hn surface ids, persisted across batches (sampled vocabs
+        # repeat pieces heavily, so each distinct piece tokenizes once)
+        self._surface_cache: Dict[str, tuple] = {}
 
         assert (fixed_tokenizer is None) == data_config.do_tokenizer_sampling
 
@@ -214,7 +217,8 @@ class Collator:
 
         if self.hn_tokenizer is not None:
             surface_forms, _ = get_surface_form_matrix(
-                tokens, cfg.hn_surface_maxlen, self.hn_tokenizer
+                tokens, cfg.hn_surface_maxlen, self.hn_tokenizer,
+                cache=self._surface_cache,
             )
         else:
             surface_forms = None

@@ -20,6 +20,11 @@ from ..constants import SPLIT_REGEX
 from .bytemaps import CHARS_TO_BYTES
 from .core import Tokenizer
 from .models import Unigram
+from .normalizers import Prepend
+from .postprocessors import ByteLevelPost, TemplateProcessing
+from .pretokenizers import ByteLevel as _ByteLevelPre
+from .pretokenizers import Sequence as _PreSequence
+from .pretokenizers import Split as _Split
 from .pretokenizers import _compiled
 
 try:
@@ -27,15 +32,28 @@ try:
 except Exception:  # pragma: no cover
     _host_lib = None
 
+# byte-char -> latin-1 char translation (piece.translate + encode beats a
+# per-char dict lookup loop; a fresh encoder is built per sampled tokenizer).
+# Raw chars outside the byte alphabet but < 0x100 (e.g. '\x85') map to an
+# un-encodable char so the piece is skipped, matching the dict-lookup KeyError.
+_BYTECHAR_TRANS = {ord(c): chr(b) for c, b in CHARS_TO_BYTES.items()}
+for _b in range(256):
+    if _b not in _BYTECHAR_TRANS:
+        _BYTECHAR_TRANS[_b] = "￿"
+
 
 def _canonical_structure(tok: Tokenizer) -> bool:
+    # structural check on the live objects — tok.to_json() serializes the
+    # whole 32k-piece model, which was a per-batch cost
     if not isinstance(tok.model, Unigram):
         return False
-    pt = tok.to_json().get("pre_tokenizer") or {}
-    if pt.get("type") != "Sequence":
-        return False
-    kinds = [p["type"] for p in pt.get("pretokenizers", [])]
-    return kinds == ["Split", "ByteLevel"]
+    pt = tok.pre_tokenizer
+    return (
+        isinstance(pt, _PreSequence)
+        and len(pt.pretokenizers) == 2
+        and isinstance(pt.pretokenizers[0], _Split)
+        and isinstance(pt.pretokenizers[1], _ByteLevelPre)
+    )
 
 
 class FastUnigramEncoder:
@@ -45,12 +63,11 @@ class FastUnigramEncoder:
         assert _host_lib is not None, "native host library unavailable"
         assert _canonical_structure(tok), "tokenizer is not canonical byte-level Unigram"
         self.tok = tok
-        data = tok.to_json()
-        norm = data.get("normalizer")
+        norm = tok.normalizer
         self.prepend = None
         if norm is not None:
-            if norm.get("type") == "Prepend":
-                self.prepend = norm["prepend"]
+            if isinstance(norm, Prepend):
+                self.prepend = norm.prepend
             else:
                 raise ValueError(f"unsupported normalizer for fast path: {norm}")
         self._rx = _compiled(SPLIT_REGEX)
@@ -58,10 +75,11 @@ class FastUnigramEncoder:
         pieces_raw: List[bytes] = []
         scores: List[float] = []
         id_map: List[int] = []
+        trans = _BYTECHAR_TRANS
         for i, (piece, score) in enumerate(tok.model.pieces):
             try:
-                raw = bytes(CHARS_TO_BYTES[c] for c in piece)
-            except KeyError:
+                raw = piece.translate(trans).encode("latin-1")
+            except UnicodeEncodeError:
                 continue  # specials / <unused_*> never match raw byte text
             pieces_raw.append(raw)
             scores.append(score)
@@ -72,20 +90,18 @@ class FastUnigramEncoder:
         # single-sequence special-token template (TemplateProcessing)
         self.prefix_ids: List[int] = []
         self.suffix_ids: List[int] = []
-        post = data.get("post_processor")
-        if post is not None and post.get("type") == "TemplateProcessing":
+        post = tok.post_processor
+        if isinstance(post, TemplateProcessing):
             seen_seq = False
-            specials = post["special_tokens"]
-            if isinstance(specials, list):
-                specials = {s["id"]: s for s in specials}
-            for piece in post["single"]:
+            specials = post.special_tokens
+            for piece in post.single:
                 if "Sequence" in piece:
                     seen_seq = True
                 elif "SpecialToken" in piece:
                     ids = specials[piece["SpecialToken"]["id"]]["ids"]
                     (self.suffix_ids if seen_seq else self.prefix_ids).extend(ids)
-        elif post is not None and post.get("type") not in ("ByteLevel",):
-            raise ValueError(f"unsupported post_processor for fast path: {post['type']}")
+        elif post is not None and not isinstance(post, ByteLevelPost):
+            raise ValueError(f"unsupported post_processor for fast path: {post}")
 
     def encode_batch(
         self,

@@ -133,17 +133,27 @@ class Unigram(Model):
 
     def _rebuild(self):
         self._vocab = {}
-        self._trie = _Trie()
+        self._trie = None  # built lazily: the native fast-encode path never
+        # tokenizes through the Python trie, and a fresh sampled tokenizer is
+        # constructed every training batch
         min_score = 0.0
         for i, (piece, score) in enumerate(self.pieces):
             if piece not in self._vocab:  # first occurrence wins, like HF
                 self._vocab[piece] = i
-                self._trie.insert(piece, i)
             if score < min_score:
                 min_score = score
         self.min_score = min_score
         self._unk_score = min_score - UNK_PENALTY
         self._inv_vocab = {}
+
+    def _ensure_trie(self):
+        if self._trie is None:
+            trie = _Trie()
+            # _vocab already keeps only the first occurrence of each piece
+            for piece, i in self._vocab.items():
+                trie.insert(piece, i)
+            self._trie = trie
+        return self._trie
 
     # --- mutable model access (HF fork API parity: get/set_pieces/scores) ---
     def get_pieces(self) -> List[Tuple[str, float]]:
@@ -169,8 +179,9 @@ class Unigram(Model):
         n = len(text)
         edges: List[List[Tuple[int, int, float]]] = [[] for _ in range(n + 1)]
         pieces = self.pieces
+        trie = self._ensure_trie()
         for begin in range(n):
-            matches = self._trie.prefix_matches(text, begin)
+            matches = trie.prefix_matches(text, begin)
             has_single = any(e == begin + 1 for e, _ in matches)
             for end, tid in matches:
                 edges[end].append((begin, tid, pieces[tid][1]))

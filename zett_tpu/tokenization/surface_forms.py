@@ -23,8 +23,14 @@ def get_surface_form_matrix(
     maxlen: int,
     hn_tokenizer: Tokenizer,
     padding: int = 0,
+    cache: dict = None,
 ) -> Tuple[np.ndarray, int]:
-    """Returns (surface_forms[(vocab+padding), maxlen] int32, n_truncated)."""
+    """Returns (surface_forms[(vocab+padding), maxlen] int32, n_truncated).
+
+    cache (optional): token -> tuple(ids) memo persisted by the caller.
+    Sampled vocabularies repeat pieces heavily across training batches
+    (Zipf), so the per-token hn-model tokenize — the dominant cost of this
+    function — is only ever paid once per distinct piece."""
     if isinstance(tokenizer_or_tokens, Tokenizer):
         tok = tokenizer_or_tokens
         tokens = [tok.id_to_token(i) for i in range(len(tok))]
@@ -40,13 +46,20 @@ def get_surface_form_matrix(
     out = np.full((vocab_size + padding, maxlen), pad_id, dtype=np.int32)
     n_truncated = 0
     model = hn_tokenizer.model
+    tokenize = model.tokenize
     for i, token in enumerate(tokens):
         if token is None:
             continue
         if token in special_set:
             out[i, 0] = hn_tokenizer.token_to_id(token)
             continue
-        ids = [tid for tid, _ in model.tokenize(token)]
+        if cache is not None:
+            ids = cache.get(token)
+            if ids is None:
+                ids = tuple(tid for tid, _ in tokenize(token))
+                cache[token] = ids
+        else:
+            ids = [tid for tid, _ in tokenize(token)]
         if len(ids) > maxlen:
             ids = ids[:maxlen]
             n_truncated += 1
