@@ -98,6 +98,90 @@ struct ViterbiScratch {
   std::vector<int32_t> back_id;
 };
 
+// Open-addressing memo cache: pretoken bytes -> encoded ids. The encode hot
+// path is hit-dominated (Zipfian corpora repeat pretokens heavily), and a
+// std::unordered_map<std::string, vector> pays a string copy + node hop on
+// EVERY lookup. This map hashes straight off the text buffer (no key copy on
+// hits), stores keys and ids in flat arenas, and probes linearly — the hit
+// path is one hash, one probe, one memcmp, one memcpy of the ids.
+struct MemoCache {
+  struct Slot {
+    uint32_t hash;
+    uint32_t key_off, key_len;  // key_len == 0 marks an empty slot
+    uint32_t ids_off, ids_len;
+  };
+  std::vector<Slot> slots;
+  std::string keys;           // key arena
+  std::vector<int32_t> ids;   // ids arena
+  size_t count = 0;
+  size_t mask;
+
+  explicit MemoCache(size_t init_pow2 = 1 << 14) {
+    slots.assign(init_pow2, Slot{0, 0, 0, 0, 0});
+    mask = init_pow2 - 1;
+    keys.reserve(init_pow2 * 8);
+    ids.reserve(init_pow2 * 2);
+  }
+
+  static inline uint32_t fnv1a(const uint8_t* s, size_t n) {
+    uint32_t h = 0x811C9DC5u;
+    for (size_t i = 0; i < n; ++i) h = (h ^ s[i]) * 0x01000193u;
+    // avalanche the low bits (we index with & mask)
+    h ^= h >> 15;
+    h *= 0x2C1B3C6Du;
+    h ^= h >> 12;
+    return h;
+  }
+
+  // returns slot index of the key, or the insertion point (empty slot)
+  inline size_t probe(uint32_t h, const uint8_t* s, size_t n) const {
+    size_t i = h & mask;
+    while (true) {
+      const Slot& sl = slots[i];
+      if (sl.key_len == 0) return i;
+      if (sl.hash == h && sl.key_len == (uint32_t)n &&
+          std::memcmp(keys.data() + sl.key_off, s, n) == 0)
+        return i;
+      i = (i + 1) & mask;
+    }
+  }
+
+  inline const Slot* find(uint32_t h, const uint8_t* s, size_t n) const {
+    const Slot& sl = slots[probe(h, s, n)];
+    return sl.key_len ? &sl : nullptr;
+  }
+
+  void grow() {
+    std::vector<Slot> old;
+    old.swap(slots);
+    slots.assign(old.size() * 2, Slot{0, 0, 0, 0, 0});
+    mask = slots.size() - 1;
+    for (const Slot& sl : old) {
+      if (!sl.key_len) continue;
+      size_t i = sl.hash & mask;
+      while (slots[i].key_len) i = (i + 1) & mask;
+      slots[i] = sl;
+    }
+  }
+
+  // insert (key must be absent); returns the ids range
+  inline Slot insert(uint32_t h, const uint8_t* s, size_t n,
+                     const std::vector<int32_t>& v) {
+    if ((count + 1) * 4 >= slots.size() * 3) grow();
+    size_t i = probe(h, s, n);
+    Slot& sl = slots[i];
+    sl.hash = h;
+    sl.key_off = (uint32_t)keys.size();
+    sl.key_len = (uint32_t)n;
+    keys.append((const char*)s, n);
+    sl.ids_off = (uint32_t)ids.size();
+    sl.ids_len = (uint32_t)v.size();
+    ids.insert(ids.end(), v.begin(), v.end());
+    ++count;
+    return sl;
+  }
+};
+
 // Viterbi over one pretoken; appends ids to out. Returns count appended.
 static size_t uni_viterbi(UnigramModel* m, const uint8_t* s, size_t n,
                           std::vector<int32_t>& out, ViterbiScratch& sc) {
@@ -162,27 +246,30 @@ int64_t uni_encode_batch_threaded(void* handle, const uint8_t* text,
   std::vector<std::thread> workers;
   int64_t chunk = (n_pretokens + n_threads - 1) / n_threads;
   auto work = [&](int t) {
-    std::unordered_map<std::string, std::vector<int32_t>> cache;
+    MemoCache cache;
     ViterbiScratch sc;
     std::vector<int32_t>& out = results[(size_t)t];
     std::vector<int32_t> buf;
-    std::string key;
     int64_t lo = t * chunk, hi = std::min(n_pretokens, (t + 1) * chunk);
     for (int64_t i = lo; i < hi; ++i) {
       const uint8_t* s = text + offsets[i];
       size_t n = (size_t)(offsets[i + 1] - offsets[i]);
-      key.assign((const char*)s, n);
-      auto it = cache.find(key);
-      const std::vector<int32_t>* ids;
-      if (it != cache.end()) {
-        ids = &it->second;
-      } else {
+      if (n == 0) {
+        out_lens[i] = 0;
+        continue;
+      }
+      uint32_t h = MemoCache::fnv1a(s, n);
+      const MemoCache::Slot* sl = cache.find(h, s, n);
+      MemoCache::Slot tmp;
+      if (!sl) {
         buf.clear();
         uni_viterbi(m, s, n, buf, sc);
-        ids = &cache.emplace(std::move(key), buf).first->second;
+        tmp = cache.insert(h, s, n, buf);
+        sl = &tmp;
       }
-      out_lens[i] = (int32_t)ids->size();
-      out.insert(out.end(), ids->begin(), ids->end());
+      out_lens[i] = (int32_t)sl->ids_len;
+      out.insert(out.end(), cache.ids.data() + sl->ids_off,
+                 cache.ids.data() + sl->ids_off + sl->ids_len);
     }
   };
   if (n_threads == 1) {
@@ -476,11 +563,10 @@ int64_t uni_encode_texts(void* handle, const uint8_t* text,
   std::vector<std::thread> workers;
   int64_t chunk = (n_texts + n_threads - 1) / n_threads;
   auto work = [&](int t) {
-    std::unordered_map<std::string, std::vector<int32_t>> cache;
+    MemoCache cache;
     ViterbiScratch sc;
     std::vector<int32_t>& out = results[(size_t)t];
     std::vector<int32_t> buf;
-    std::string key;
     int64_t lo = t * chunk, hi = std::min(n_texts, (t + 1) * chunk);
     for (int64_t ti = lo; ti < hi; ++ti) {
       const uint8_t* s = text + offsets[ti];
@@ -489,18 +575,18 @@ int64_t uni_encode_texts(void* handle, const uint8_t* text,
       size_t i = 0;
       while (i < n) {
         size_t j = pretoken_end(s, n, i, ctab, (uint8_t)letters_mask);
-        key.assign((const char*)s + i, j - i);
-        auto it = cache.find(key);
-        const std::vector<int32_t>* ids;
-        if (it != cache.end()) {
-          ids = &it->second;
-        } else {
+        uint32_t h = MemoCache::fnv1a(s + i, j - i);
+        const MemoCache::Slot* sl = cache.find(h, s + i, j - i);
+        MemoCache::Slot tmp;
+        if (!sl) {
           buf.clear();
           uni_viterbi(m, s + i, j - i, buf, sc);
-          ids = &cache.emplace(std::move(key), buf).first->second;
+          tmp = cache.insert(h, s + i, j - i, buf);
+          sl = &tmp;
         }
-        out.insert(out.end(), ids->begin(), ids->end());
-        n_tok += (int64_t)ids->size();
+        out.insert(out.end(), cache.ids.data() + sl->ids_off,
+                   cache.ids.data() + sl->ids_off + sl->ids_len);
+        n_tok += (int64_t)sl->ids_len;
         i = j;
       }
       out_text_tokens[ti] = n_tok;
