@@ -84,6 +84,24 @@ class TestNativeUnigram:
         tok = Tokenizer.from_json(gpt2_like_json)
         assert fast_encoder_or_none(tok) is None
 
+    def test_memo_cache_growth(self, sampled_tokenizer):
+        """>>16k distinct pretokens forces the native memo cache through
+        multiple rehash/grow cycles (initial capacity 2^14); ids must stay
+        identical to the uncached Python model, and repeats (cache hits
+        after growth) must match their first encoding."""
+        enc = FastUnigramEncoder(sampled_tokenizer)
+        uniq = [f"w{i}x{i * 7919 % 104729}" for i in range(40000)]
+        texts = [" ".join(uniq[k : k + 8]) for k in range(0, 40000, 8)]
+        texts += texts[:50]  # repeats -> post-growth cache hits
+        ids, mask = enc.encode_batch(texts, add_special_tokens=False)
+        for i in (0, 1, len(texts) // 2, len(texts) - 51):
+            ours = list(ids[i][mask[i] == 1])
+            want = sampled_tokenizer.encode(texts[i], add_special_tokens=False).ids
+            assert ours == want
+        for i in range(50):  # repeated texts == their first occurrence
+            a, b = i, len(texts) - 50 + i
+            np.testing.assert_array_equal(ids[a][mask[a] == 1], ids[b][mask[b] == 1])
+
 
 class TestNativeSplitter:
     """The C++ UTF-8 scanner implements SPLIT_REGEX semantics byte-exactly

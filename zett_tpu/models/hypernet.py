@@ -154,9 +154,14 @@ class Attention(nn.Module):
         attention_bias=None,
         position_bias=None,
         deterministic: bool = True,
+        cls_query_only: bool = False,
     ):
         cfg = self.config
         kv = key_value_states if key_value_states is not None else hidden_states
+        if cls_query_only:
+            # only the CLS position's output is consumed downstream: project
+            # q for position 0 alone (keys/values still span all positions)
+            hidden_states = hidden_states[:, :1]
         q = nn.Dense(cfg.hidden_size, dtype=self.dtype, name="query")(hidden_states)
         k = nn.Dense(cfg.hidden_size, dtype=self.dtype, name="key")(kv)
         v = nn.Dense(cfg.hidden_size, dtype=self.dtype, name="value")(kv)
@@ -197,14 +202,26 @@ class EncoderLayer(nn.Module):
         lang_index=None,
         position_bias=None,
         deterministic: bool = True,
+        cls_only: bool = False,
     ):
+        """With cls_only=True, computes this layer's output for position 0
+        ONLY (attention queries + MLP restricted to CLS; keys/values read the
+        full previous layer). Exact when the caller pools hidden[:, 0] —
+        positions 1.. of the last layer are dead code otherwise. ~25% of the
+        encoder's FLOPs at typical surface widths."""
         cfg = self.config
+        if cls_only:
+            assert not cfg.add_inter_token_attention
+            if position_bias is not None:
+                position_bias = position_bias[:, :, :1, :]
         attn_out = Attention(cfg, dtype=self.dtype, name="attention")(
             hidden_states, attention_mask=attention_mask,
             position_bias=position_bias, deterministic=deterministic,
+            cls_query_only=cls_only,
         )
+        residual = hidden_states[:, :1] if cls_only else hidden_states
         attn_out = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype, name="attention_ln")(
-            attn_out + hidden_states
+            attn_out + residual
         )
 
         # Inter-token attention: tokens exchange information through a small
@@ -372,7 +389,13 @@ class HypernetEncoder(nn.Module):
             )
             position_bias = jnp.transpose(rel_table[buckets], (2, 0, 1))[None]
 
+        # the last layer's non-CLS outputs are dead when the caller pools
+        # hidden[:, 0] — skip computing them (exact; see EncoderLayer)
+        cls_only_last = (
+            not cfg.concat_last_hidden_state and not cfg.add_inter_token_attention
+        )
         for i in range(cfg.num_hidden_layers):
+            last = i == cfg.num_hidden_layers - 1
             hidden = EncoderLayer(cfg, dtype=self.dtype, name=f"layer_{i}")(
                 hidden, attention_mask,
                 target_priors=target_priors,
@@ -380,6 +403,7 @@ class HypernetEncoder(nn.Module):
                 lang_index=lang_index,
                 position_bias=position_bias,
                 deterministic=deterministic,
+                cls_only=last and cls_only_last,
             )
         return hidden
 
