@@ -40,6 +40,13 @@ BYTE_ALPHABET = tuple(BYTES_TO_CHARS[b] for b in range(256))
 # maps each unit through the table (vs. a per-char Python genexpr join,
 # which dominated tokenizer-sampling time at ~32k pieces per sample)
 _B2C_TRANS = str.maketrans({b: c for b, c in _byte_to_char_map().items()})
+# inverse table: byte-char codepoint -> latin-1 char of the byte value.
+# Codepoints < 0x100 that are NOT in the alphabet (raw control chars) map to
+# an un-encodable char so .encode("latin-1") fails and the caller gets the
+# documented KeyError via the fallback (they would otherwise pass through).
+_C2B_TRANS = {ord(c): chr(b) for b, c in _byte_to_char_map().items()}
+for _cp in range(0x100):
+    _C2B_TRANS.setdefault(_cp, "￿")
 
 
 def bytes_to_byte_chars(raw: bytes) -> str:
@@ -58,8 +65,14 @@ def byte_chars_to_bytes(token: str) -> bytes:
     Raises KeyError if `token` contains characters outside the byte alphabet
     (e.g. special tokens) — callers must handle those separately.
     """
-    m = CHARS_TO_BYTES
-    return bytes(m[c] for c in token)
+    try:
+        # same translate trick as bytes_to_byte_chars, inverted: map byte
+        # chars into latin-1 range, then encode (C-speed)
+        return token.translate(_C2B_TRANS).encode("latin-1")
+    except UnicodeEncodeError:
+        # non-alphabet char: fall back for the exact-KeyError contract
+        m = CHARS_TO_BYTES
+        return bytes(m[c] for c in token)
 
 
 def byte_chars_to_text(token: str, errors: str = "replace") -> str:
