@@ -613,13 +613,81 @@ int64_t uni_encode_texts(void* handle, const uint8_t* text,
 // Substring enumeration for tokenizer sampling
 // --------------------------------------------------------------------------
 
+// Open-addressing substring counter (same design as MemoCache): keys live in
+// a flat arena, hashes are computed INCREMENTALLY along substring length in
+// the enumeration loops (extending s[start..k) to s[start..k+1) is O(1)), so
+// a count update costs one probe + memcmp instead of a std::string
+// construction + node-based map insert.
 struct CountMap {
-  std::unordered_map<std::string, uint64_t> counts;
-  // serialization scratch
+  struct Slot {
+    uint32_t hash;
+    uint32_t key_off, key_len;  // key_len == 0 marks an empty slot
+    uint64_t value;
+  };
+  std::vector<Slot> slots;
   std::string keys;
-  std::vector<int64_t> offsets;
-  std::vector<uint64_t> values;
+  size_t count = 0;
+  size_t mask;
+
+  explicit CountMap(size_t init_pow2 = 1 << 16) {
+    slots.assign(init_pow2, Slot{0, 0, 0, 0});
+    mask = init_pow2 - 1;
+    keys.reserve(init_pow2 * 4);
+  }
+
+  static inline uint32_t mix(uint32_t h) {
+    h ^= h >> 15;
+    h *= 0x2C1B3C6Du;
+    h ^= h >> 12;
+    return h;
+  }
+
+  void grow() {
+    std::vector<Slot> old;
+    old.swap(slots);
+    slots.assign(old.size() * 2, Slot{0, 0, 0, 0});
+    mask = slots.size() - 1;
+    for (const Slot& sl : old) {
+      if (!sl.key_len) continue;
+      size_t i = mix(sl.hash) & mask;
+      while (slots[i].key_len) i = (i + 1) & mask;
+      slots[i] = sl;
+    }
+  }
+
+  // h must be the raw incremental hash of s[0..n)
+  inline void add(const uint8_t* s, uint32_t h, size_t n, uint64_t w) {
+    size_t i = mix(h) & mask;
+    while (true) {
+      Slot& sl = slots[i];
+      if (!sl.key_len) {
+        if ((count + 1) * 4 >= slots.size() * 3) {
+          grow();
+          add(s, h, n, w);
+          return;
+        }
+        sl.hash = h;
+        sl.key_off = (uint32_t)keys.size();
+        sl.key_len = (uint32_t)n;
+        keys.append((const char*)s, n);
+        sl.value = w;
+        ++count;
+        return;
+      }
+      if (sl.hash == h && sl.key_len == (uint32_t)n &&
+          std::memcmp(keys.data() + sl.key_off, s, n) == 0) {
+        sl.value += w;
+        return;
+      }
+      i = (i + 1) & mask;
+    }
+  }
 };
+
+// incremental substring hash step (must match CountMap::add callers)
+static inline uint32_t ch_step(uint32_t h, uint8_t b) {
+  return h * 0x01000193u + b + 1;
+}
 
 // byte weight table: GPT-2 keeps '!'..'~', 0xA1..0xAC, 0xAE..0xFF as
 // 1-char (latin-1 chars are 2 utf-8 bytes when >= 0x80)
@@ -654,9 +722,7 @@ void* count_substrings(const uint8_t* text, const int64_t* offsets,
                        const int64_t* char_start_offsets, int32_t max_length,
                        int32_t stride) {
   const uint8_t* wtab = byte_weight_tab();
-  auto* cm = new CountMap();
-  cm->counts.reserve(1 << 20);
-  std::string piece;
+  auto* cm = new CountMap(1 << 20);
   for (int64_t i = 0; i < n_pretokens; ++i) {
     const uint8_t* s = text + offsets[i];
     int64_t n = offsets[i + 1] - offsets[i];
@@ -667,10 +733,12 @@ void* count_substrings(const uint8_t* text, const int64_t* offsets,
       int64_t start = cs[ci];
       int64_t upper = std::min((int64_t)(max_length - 1), n - start);
       uint64_t wsum = 0;
+      uint32_t h = 0x811C9DC5u;
       for (int64_t k = 1; k <= upper; ++k) {
-        wsum += wtab[s[start + k - 1]];
-        piece.assign((const char*)(s + start), (size_t)k);
-        cm->counts[piece] += w * wsum;
+        uint8_t b = s[start + k - 1];
+        wsum += wtab[b];
+        h = ch_step(h, b);
+        cm->add(s + start, h, (size_t)k, w * wsum);
       }
     }
   }
@@ -686,9 +754,7 @@ void* count_substrings_texts(const uint8_t* text, const int64_t* offsets,
                              const uint8_t* ctab, int32_t letters_mask,
                              int32_t max_length, int32_t stride) {
   const uint8_t* wtab = byte_weight_tab();
-  auto* cm = new CountMap();
-  cm->counts.reserve(1 << 20);
-  std::string piece;
+  auto* cm = new CountMap(1 << 20);
   std::vector<int32_t> starts;
   for (int64_t ti = 0; ti < n_texts; ++ti) {
     const uint8_t* s = text + offsets[ti];
@@ -711,10 +777,12 @@ void* count_substrings_texts(const uint8_t* text, const int64_t* offsets,
         int64_t start = starts[ci];
         int64_t upper = std::min((int64_t)(max_length - 1), plen - start);
         uint64_t wsum = 0;
+        uint32_t h = 0x811C9DC5u;
         for (int64_t k = 1; k <= upper; ++k) {
-          wsum += wtab[ps[start + k - 1]];
-          piece.assign((const char*)(ps + start), (size_t)k);
-          cm->counts[piece] += w * wsum;
+          uint8_t b = ps[start + k - 1];
+          wsum += wtab[b];
+          h = ch_step(h, b);
+          cm->add(ps + start, h, (size_t)k, w * wsum);
         }
       }
       i = j;
@@ -727,13 +795,17 @@ void* count_substrings_texts(const uint8_t* text, const int64_t* offsets,
 // reference rust_utils/src/lib.rs:193-206 — previously reconstructed as
 // Python dicts, which dominated sample_tokenizer time).
 void* countmap_merge(void** handles, int64_t n) {
-  auto* out = new CountMap();
   size_t total = 0;
-  for (int64_t i = 0; i < n; ++i) total += ((CountMap*)handles[i])->counts.size();
-  out->counts.reserve(total);
+  for (int64_t i = 0; i < n; ++i) total += ((CountMap*)handles[i])->count;
+  size_t cap = 1 << 16;
+  while (cap * 3 < total * 4) cap *= 2;  // pre-size past the 75% load factor
+  auto* out = new CountMap(cap);
   for (int64_t i = 0; i < n; ++i) {
-    for (const auto& kv : ((CountMap*)handles[i])->counts) {
-      out->counts[kv.first] += kv.second;
+    auto* in = (CountMap*)handles[i];
+    for (const auto& sl : in->slots) {
+      if (!sl.key_len) continue;
+      out->add((const uint8_t*)in->keys.data() + sl.key_off, sl.hash,
+               sl.key_len, sl.value);
     }
   }
   return out;
@@ -741,7 +813,7 @@ void* countmap_merge(void** handles, int64_t n) {
 
 int64_t countmap_size(void* handle) {
   auto* cm = (CountMap*)handle;
-  return (int64_t)cm->counts.size();
+  return (int64_t)cm->count;
 }
 
 // Serialize: fills offsets (n+1), values (n) and returns total key bytes.
@@ -749,17 +821,14 @@ int64_t countmap_size(void* handle) {
 int64_t countmap_serialize(void* handle, uint8_t* keys, int64_t* offsets,
                            uint64_t* values) {
   auto* cm = (CountMap*)handle;
-  if (keys == nullptr) {
-    int64_t total = 0;
-    for (auto& kv : cm->counts) total += (int64_t)kv.first.size();
-    return total;
-  }
+  if (keys == nullptr) return (int64_t)cm->keys.size();
   int64_t pos = 0, i = 0;
-  for (auto& kv : cm->counts) {
+  for (const auto& sl : cm->slots) {
+    if (!sl.key_len) continue;
     offsets[i] = pos;
-    std::memcpy(keys + pos, kv.first.data(), kv.first.size());
-    pos += (int64_t)kv.first.size();
-    values[i] = kv.second;
+    std::memcpy(keys + pos, cm->keys.data() + sl.key_off, sl.key_len);
+    pos += (int64_t)sl.key_len;
+    values[i] = sl.value;
     ++i;
   }
   offsets[i] = pos;
