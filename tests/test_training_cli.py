@@ -127,3 +127,16 @@ def test_run_training_cost_analysis(model_dir, corpus, tmp_path):
     assert report["backbone_flops_per_token"] > 0
     assert report["hypernet_params"] > 0
     assert int(trainer.state.step) == 0  # no training happened
+
+
+def test_run_training_profile_dir_counts_steps_once(model_dir, corpus, tmp_path):
+    """profile_dir traces the first steps WITHOUT training extra steps: the
+    profiled steps count toward cfg.steps and the LR schedule sees a single
+    contiguous run (round-1 quirk: the run trained steps + profile_steps)."""
+    cfg = _base_config(model_dir, str(tmp_path / "prof"), corpus)
+    cfg["steps"] = 3
+    cfg["profile_dir"] = str(tmp_path / "trace")
+    cfg["profile_steps"] = 2
+    trainer, history = run_training(cfg, "prof")
+    assert int(trainer.state.step) == 3  # not 5
+    assert os.path.exists(str(tmp_path / "trace"))

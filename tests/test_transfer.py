@@ -39,13 +39,21 @@ class TestSampleIndices:
         assert idx.shape == (6, 40)
         counts = np.bincount(idx.ravel(), minlength=n)
         assert (counts >= min_k).all(), "not every token predicted min_k times"
+        # no row repeats a token (rng.choice replace=False + disjoint chunks)
+        for row in idx:
+            assert len(np.unique(row)) == len(row)
 
     def test_masked_entries_excluded_from_sampling(self):
         n = 50
         p = np.zeros(n)
         p[40:] = NEGATIVE_INF_FILL_VALUE
-        idx = get_sample_indices(n, p, 25, 1, 2, rng=np.random.default_rng(0))
-        assert idx.shape == (2, 25)
+        idx = get_sample_indices(n, p, 30, 1, 2, rng=np.random.default_rng(0))
+        assert idx.shape == (2, 30)
+        # masked tokens still appear exactly once (coverage chunks) but are
+        # never drawn by the prior-weighted top-up
+        counts = np.bincount(idx.ravel(), minlength=n)
+        assert (counts[40:] == 1).all()
+        assert (counts >= 1).all()
 
 
 class TestBatchedInference:

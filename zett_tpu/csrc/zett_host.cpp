@@ -14,6 +14,7 @@
 // globals; handles are not thread-safe individually).
 
 #include <algorithm>
+#include <cassert>
 #include <cmath>
 #include <cstdint>
 #include <cstring>
@@ -168,6 +169,10 @@ struct MemoCache {
   inline Slot insert(uint32_t h, const uint8_t* s, size_t n,
                      const std::vector<int32_t>& v) {
     if ((count + 1) * 4 >= slots.size() * 3) grow();
+    // offsets are stored as uint32_t; past 4 GiB of accumulated key/id bytes
+    // they would silently wrap and corrupt lookups
+    assert(keys.size() <= UINT32_MAX && ids.size() <= UINT32_MAX);
+    if (keys.size() > UINT32_MAX || ids.size() > UINT32_MAX) abort();
     size_t i = probe(h, s, n);
     Slot& sl = slots[i];
     sl.hash = h;
@@ -666,6 +671,9 @@ struct CountMap {
           add(s, h, n, w);
           return;
         }
+        // uint32_t offset ceiling (see MemoCache::insert)
+        assert(keys.size() <= UINT32_MAX);
+        if (keys.size() > UINT32_MAX) abort();
         sl.hash = h;
         sl.key_off = (uint32_t)keys.size();
         sl.key_len = (uint32_t)n;

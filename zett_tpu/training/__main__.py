@@ -321,20 +321,28 @@ def run_training(config: dict, run_name: str = "run"):
 
     profile_dir = config.get("profile_dir")
     if profile_dir:
-        # capture a device trace of the first few steps (SURVEY §5.1)
+        # capture a device trace of the first few steps (SURVEY §5.1); the
+        # profiled steps COUNT toward the run — the main fit below resumes
+        # after them (no replay: the data stream already advanced), so the
+        # total step count and LR schedule are exactly those of an
+        # unprofiled run
         from ..utils import trace
 
-        n_profile = int(config.get("profile_steps", 3))
+        n_profile = min(int(config.get("profile_steps", 3)), train_cfg.steps)
         with trace(profile_dir):
             saved_steps = train_cfg.steps
-            trainer.cfg.steps = min(n_profile, saved_steps)
-            trainer.fit(batch_iter, identity_iter, on_log=on_log)
+            trainer.cfg.steps = min(n_profile + resume_step, saved_steps)
+            trainer.fit(
+                batch_iter, identity_iter, on_log=on_log,
+                resume_step=resume_step,
+            )
             trainer.cfg.steps = saved_steps
+        resume_step = min(n_profile + resume_step, saved_steps)
         print(f"wrote device trace for {n_profile} steps to {profile_dir}")
 
     history = trainer.fit(
         batch_iter, identity_iter, eval_fn=eval_fn, on_log=on_log,
-        resume_step=resume_step,
+        resume_step=resume_step, do_replay=not profile_dir,
     )
     trainer.save_checkpoint(
         os.path.join(train_cfg.output_dir, "final"), full_state=train_cfg.save_state

@@ -7,36 +7,57 @@ import optax
 from flax import traverse_util
 
 
+def _is_norm_module(segment: str) -> bool:
+    """Heuristic for normalization-layer module names across our module trees
+    and HF-style trees ("LayerNorm", "ln_1", "ln_f", "final_layer_norm",
+    "input_layernorm", "norm", ...)."""
+    s = segment.lower()
+    return (
+        s in ("norm", "ln")
+        or s.startswith("ln_")
+        or "layernorm" in s
+        or "layer_norm" in s
+        or "rmsnorm" in s
+    )
+
+
 def decay_mask_fn(params):
-    """No weight decay for biases and LayerNorm params (train.py:592-606)."""
-    flat_params = traverse_util.flatten_dict(params)
-    layer_norm_candidates = ["layernorm", "layer_norm", "ln"]
-    layer_norm_named_params = {
-        layer[-2:]
-        for norm_name in layer_norm_candidates
-        for layer in flat_params
-        if norm_name in "".join(layer).lower()
+    """True where weight decay applies: every param except biases and any
+    param living inside a normalization module. Same exemption set as the
+    reference (train.py:592-606) but decided per path segment instead of by
+    collecting (parent, leaf) suffix pairs."""
+    flat = traverse_util.flatten_dict(params)
+    mask = {
+        path: path[-1] != "bias" and not any(_is_norm_module(seg) for seg in path)
+        for path in flat
     }
-    flat_mask = {
-        path: (path[-1] != "bias" and path[-2:] not in layer_norm_named_params)
-        for path in flat_params
-    }
-    return traverse_util.unflatten_dict(flat_mask)
+    return traverse_util.unflatten_dict(mask)
+
+
+# module names whose params never receive gradient updates regardless of the
+# training regime: the affine rescalers are calibrated once at init
+# (Hypernet.init_rescaler) and must stay fixed (reference semantics,
+# train.py:607-622)
+ALWAYS_FROZEN_MODULES = frozenset({"scaler", "in_scaler", "out_scaler"})
 
 
 def get_labels(params, backbone_training: str = "no"):
-    """'train' iff hypernet param (or backbone under full fine-tuning);
-    rescalers are always frozen (train.py:607-622)."""
-    flat_params = traverse_util.flatten_dict(params)
+    """Map every param to "train"/"freeze" for optax.multi_transform.
+
+    The hypernet subtree trains; the frozen backbone ("inner") trains only
+    under full fine-tuning; rescaler modules are always frozen.
+    """
+    trainable_roots = {"hypernet"}
+    if backbone_training == "full":
+        trainable_roots.add("inner")
 
     def label(path):
-        if len(path) >= 2 and path[-2] in {"scaler", "in_scaler", "out_scaler"}:
+        if ALWAYS_FROZEN_MODULES.intersection(path):
             return "freeze"
-        if path[0] == "hypernet" or (path[0] == "inner" and backbone_training == "full"):
-            return "train"
-        return "freeze"
+        return "train" if path[0] in trainable_roots else "freeze"
 
-    return traverse_util.unflatten_dict({p: label(p) for p in flat_params})
+    flat = traverse_util.flatten_dict(params)
+    return traverse_util.unflatten_dict({p: label(p) for p in flat})
 
 
 def build_optimizer(cfg, learning_rate_fn, labels):

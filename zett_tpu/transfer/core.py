@@ -31,39 +31,41 @@ from ..tokenization.surface_forms import get_surface_form_matrix
 
 
 def get_sample_indices(n, p, batch_size, min_k, n_samples, rng=None):
-    """Overlapping random batches giving each token >= min_k predictions
-    (reference: zett/utils.py:612-648). p are log-priors; masked entries at
-    NEGATIVE_INF_FILL_VALUE get probability 0 for the importance sampling."""
+    """Overlapping random vocab batches such that every token receives at
+    least ``min_k`` hypernet predictions (to be averaged by the caller).
+
+    Contract follows the reference's batch-sampling transfer mode
+    (scripts/transfer.py:54-124 uses an equivalent helper): the coverage
+    guarantee comes from ``min_k`` independent permutations of the full vocab,
+    each split evenly over ``n_samples // min_k`` batch rows; leftover row
+    capacity is topped up by prior-weighted sampling (p = log priors, entries
+    at NEGATIVE_INF_FILL_VALUE are excluded) without replacement, skipping the
+    tokens a row already holds.
+    """
     rng = rng or np.random.default_rng()
-    p = np.where(p > NEGATIVE_INF_FILL_VALUE, p, -np.inf)
-    p = np.exp(p)
+    rows_per_round = n_samples // min_k
+    assert rows_per_round * min_k == n_samples, (
+        f"n_samples={n_samples} must be a multiple of min_k={min_k}"
+    )
+    assert batch_size * rows_per_round >= n, (
+        "batch capacity too small to cover the vocab each round"
+    )
 
-    indices = np.empty((n_samples, batch_size), dtype=np.int32)
-    random_offset = 0
-    random_indices = np.arange(n)
-    rng.shuffle(random_indices)
-
-    n_samples_per_k = n_samples // min_k
-    assert n_samples_per_k * min_k == n_samples
-
-    for i in range(n_samples):
-        if (i + 1) % n_samples_per_k == 0:
-            num_random = len(random_indices) - random_offset
-        else:
-            num_random = len(random_indices) // n_samples_per_k
-        indices[i, :num_random] = random_indices[random_offset : random_offset + num_random]
-        if (i + 1) % n_samples_per_k == 0:
-            random_offset = 0
-            rng.shuffle(random_indices)
-        else:
-            random_offset += num_random
-        sample_p = p.copy()
-        sample_p[indices[i, :num_random]] = 0
-        sample_p /= sample_p.sum()
-        indices[i, num_random:] = rng.choice(
-            n, size=batch_size - num_random, p=sample_p, replace=False
-        )
-    return indices
+    weights = np.exp(np.where(p > NEGATIVE_INF_FILL_VALUE, p, -np.inf))
+    rows = np.empty((n_samples, batch_size), dtype=np.int32)
+    for r in range(min_k):
+        chunks = np.array_split(rng.permutation(n), rows_per_round)
+        for j, chunk in enumerate(chunks):
+            row = rows[r * rows_per_round + j]
+            row[: len(chunk)] = chunk
+            n_fill = batch_size - len(chunk)
+            if n_fill:
+                w = weights.copy()
+                w[chunk] = 0.0
+                row[len(chunk):] = rng.choice(
+                    n, size=n_fill, p=w / w.sum(), replace=False
+                )
+    return rows
 
 
 def batched_inference(
