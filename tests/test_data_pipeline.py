@@ -184,3 +184,81 @@ class TestMLM:
         assert (out["input_ids"][~masked] == ids[~masked]).all()
         # labels at masked positions hold the original ids
         assert (out["labels"][masked] == ids[masked]).all()
+
+
+class TestPerLanguageBatches:
+    def _texts(self):
+        return {
+            "en": [f"english sentence number {i} with several words" for i in range(40)],
+            "de": [f"deutscher satz nummer {i} mit einigen worten" for i in range(40)],
+        }
+
+    def test_single_language_batches(self):
+        ds = TrainDataset(
+            langs=["en", "de"], batch_size=4, block_size=4,
+            texts_by_lang=self._texts(), eos_token="<eos>", seed=0,
+        )
+        seen = set()
+        it = iter(ds)
+        for _ in range(20):
+            batch = next(it)
+            assert batch["lang_code"] in ("en", "de")
+            seen.add(batch["lang_code"])
+            # every text in the batch comes from that batch's language
+            marker = "english" if batch["lang_code"] == "en" else "deutscher"
+            assert all(marker in t for t in batch["texts"])
+        assert seen == {"en", "de"}
+
+    def test_language_probs_respected(self):
+        ds = TrainDataset(
+            langs=["en", "de"], language_probs=np.array([1.0, 0.0]),
+            batch_size=2, block_size=4, texts_by_lang=self._texts(), seed=0,
+        )
+        it = iter(ds)
+        assert all(next(it)["lang_code"] == "en" for _ in range(10))
+
+    def test_mix_languages(self):
+        ds = TrainDataset(
+            langs=["en", "de"], batch_size=8, block_size=4,
+            texts_by_lang=self._texts(), mix_languages=True, seed=0,
+        )
+        batch = next(iter(ds))
+        assert batch["lang_code"] == "all"
+        joined = " ".join(batch["texts"])
+        assert "english" in joined and "deutscher" in joined
+
+    def test_worker_epochs_disjoint_and_complete(self):
+        from zett_tpu.data.datasets import LanguageStream
+
+        texts = [f"t{i}" for i in range(10)]
+        covered = []
+        for w in range(2):
+            s = LanguageStream(
+                texts, min_chars=1, do_packing=False, seed=7,
+                worker_idx=w, num_workers=2,
+            )
+            covered.append({next(s) for _ in range(5)})
+        assert covered[0].isdisjoint(covered[1])
+        assert covered[0] | covered[1] == set(texts)
+
+    def test_load_language_list(self, tmp_path):
+        from zett_tpu.data.datasets import load_language_list
+
+        plain = tmp_path / "l.txt"
+        plain.write_text("en\nde\n")
+        assert load_language_list(str(plain)) == (["en", "de"], None)
+        weighted = tmp_path / "w.txt"
+        weighted.write_text("en,3\nde,1\n")
+        langs, probs = load_language_list(str(weighted))
+        assert langs == ["en", "de"]
+        assert probs == pytest.approx([0.75, 0.25])
+
+    def test_language_sizes_from_metadata(self, tmp_path):
+        from zett_tpu.data.datasets import language_sizes_from_metadata
+
+        csv = tmp_path / "meta.csv"
+        csv.write_text("lang_code,n_pages\nen,1000\nde,10\n")
+        sizes = language_sizes_from_metadata(["de", "en"], str(csv))
+        assert list(sizes) == [10.0, 1000.0]
+        with pytest.raises(KeyError):
+            language_sizes_from_metadata(["xx"], str(csv))

@@ -140,3 +140,37 @@ def test_run_training_profile_dir_counts_steps_once(model_dir, corpus, tmp_path)
     trainer, history = run_training(cfg, "prof")
     assert int(trainer.state.step) == 3  # not 5
     assert os.path.exists(str(tmp_path / "trace"))
+
+
+def test_run_training_multilingual_per_language_batches(model_dir, corpus, tmp_path):
+    """Multilingual runs use single-language batches with a real lang_index
+    and disaggregate train metrics per language (reference semantics:
+    per-language dataloader pool, train.py:387-465,1481-1530)."""
+    texts = [t for t in corpus if t.strip()][:96]
+    cfg = _base_config(model_dir, str(tmp_path / "ml"), corpus)
+    cfg["texts_by_lang"] = {"en": texts, "de": [t.upper() for t in texts]}
+    cfg["langs"] = ["en", "de"]
+    cfg["steps"] = 4
+    cfg["n_langs"] = 2
+    trainer, history = run_training(cfg, "ml")
+    step_logs = [h for h in history if "loss" in h]
+    lang_keys = {k for h in step_logs for k in h if k.startswith(("en_", "de_"))}
+    assert any(k.endswith("_loss") for k in lang_keys), lang_keys
+    assert any(k.endswith("_pad_ratio") for k in lang_keys), lang_keys
+    assert any(k.endswith("_avg_byte_length") for k in lang_keys), lang_keys
+
+
+def test_run_training_mix_languages(model_dir, corpus, tmp_path):
+    """mix_languages=True interleaves languages within a batch under the
+    "all" lang code (reference train.py:268-270,387-403)."""
+    texts = [t for t in corpus if t.strip()][:96]
+    cfg = _base_config(model_dir, str(tmp_path / "mix"), corpus)
+    cfg["texts_by_lang"] = {"en": texts, "de": [t.upper() for t in texts]}
+    cfg["langs"] = ["en", "de"]
+    cfg["mix_languages"] = True
+    cfg["steps"] = 2
+    trainer, history = run_training(cfg, "mix")
+    step_logs = [h for h in history if "loss" in h]
+    assert any("all_loss" in h for h in step_logs)
+    # hn got n_langs = 3 ("all" + en + de)
+    assert trainer.hn_config.n_langs == 3

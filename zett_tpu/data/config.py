@@ -28,3 +28,6 @@ class DataConfig:
     do_sequence_packing: bool = True
     langs: List[str] = field(default_factory=lambda: ["en"])
     language_sampling_alpha: float = 0.3
+    # interleave languages within each batch (lang_code="all") instead of the
+    # default single-language batches (reference mix_languages, train.py:90)
+    mix_languages: bool = False

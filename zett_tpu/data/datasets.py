@@ -1,17 +1,24 @@
-"""Datasets: infinite packed training stream + deterministic validation.
+"""Data layer: per-language infinite packed streams + deterministic validation.
 
-Reference: zett/dataset.py:14-192. TrainDataset packs texts greedily to
-block_size*MAX_CHARS_PER_TOKEN chars joined by the eos token, samples
-languages by probability, and gives each worker a disjoint shuffled order.
-Sources are pluggable: in-memory text lists, parquet files, or HF datasets
-on disk.
+Capability parity with the reference data layer (zett/dataset.py plus the
+per-language dataloader pool built in train.py:387-465): training batches are
+SINGLE-LANGUAGE — each batch picks one language by probability and draws every
+text from that language's stream — so the sampled tokenizer is
+language-specific and `lang_index` is meaningful for language embeddings and
+adapters, and train metrics can disaggregate per language. The reference
+realizes this with one dataset+dataloader+collator per language and a per-step
+choice among the dataloaders (train.py:1430-1437); here one dataset owns all
+language streams and makes the per-batch choice itself, which keeps a single
+host DataLoader.
+
+`mix_languages=True` instead interleaves languages WITHIN each batch and tags
+the batch "all" (reference mixed mode, train.py:387-403).
 """
 
 from __future__ import annotations
 
-import math
 import os
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, Iterator, List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -29,8 +36,11 @@ except Exception:  # pragma: no cover - torch always present in this image
         return None
 
 
-def _load_lang_texts(directory: str, lang: str):
-    """Returns an indexable of texts for `lang` under `directory`."""
+# ----------------------------------------------------------------- sources
+def open_text_source(directory: str, lang: str):
+    """Indexable of texts for `lang` under `directory`: an HF dataset dir
+    (<directory>/<lang>/), a parquet file (<lang>.parquet — the layout
+    data/prepare.py writes) or a plain <lang>.txt (one text per line)."""
     path_dir = os.path.join(directory, lang)
     path_parquet = os.path.join(directory, f"{lang}.parquet")
     path_txt = os.path.join(directory, f"{lang}.txt")
@@ -54,6 +64,8 @@ def _load_lang_texts(directory: str, lang: str):
 
 
 class _HFTextView:
+    """Adapter exposing an HF dataset's `text` column as a plain sequence."""
+
     def __init__(self, dset):
         self._dset = dset
 
@@ -66,7 +78,99 @@ class _HFTextView:
         return self._dset[int(idx)]["text"]
 
 
+def _resolve_sources(
+    langs: Sequence[str],
+    train_directory: Optional[str],
+    texts_by_lang: Optional[Dict[str, List[str]]],
+) -> Dict[str, object]:
+    sources: Dict[str, object] = {}
+    for lang in langs:
+        if texts_by_lang is not None and lang in texts_by_lang:
+            sources[lang] = texts_by_lang[lang]
+        else:
+            assert train_directory is not None, f"no data source for {lang}"
+            sources[lang] = open_text_source(train_directory, lang)
+    return sources
+
+
+# ------------------------------------------------------------------ streams
+class LanguageStream:
+    """Infinite packed-text stream over ONE language's corpus.
+
+    Epochs are independent deterministic permutations (epoch e of language
+    with seed s uses rng(s, e)); a worker consumes its strided slice
+    [worker_idx::num_workers] of each epoch so workers are disjoint yet every
+    worker count walks the same global order. Texts are greedily packed with
+    the eos separator until the packed string reaches `min_chars`
+    (block_size * MAX_CHARS_PER_TOKEN at the call site).
+    """
+
+    def __init__(
+        self,
+        source,
+        *,
+        min_chars: int,
+        eos_token: Optional[str] = None,
+        do_packing: bool = True,
+        seed: int = 0,
+        worker_idx: int = 0,
+        num_workers: int = 1,
+    ):
+        assert len(source) > 0, "empty corpus"
+        self.source = source
+        self.min_chars = min_chars
+        self.eos = eos_token or ""
+        self.do_packing = do_packing
+        self.seed = seed
+        self.worker_idx = worker_idx
+        self.num_workers = num_workers
+        self._epoch = -1
+        self._order = np.empty(0, dtype=np.int64)
+        self._cursor = 0
+
+    def _advance_epoch(self):
+        self._epoch += 1
+        rng = np.random.default_rng([self.seed, self._epoch])
+        self._order = rng.permutation(len(self.source))[
+            self.worker_idx :: self.num_workers
+        ]
+        self._cursor = 0
+
+    def _next_raw(self) -> str:
+        while True:
+            if self._cursor >= len(self._order):
+                self._advance_epoch()
+            text = self.source[int(self._order[self._cursor])]
+            self._cursor += 1
+            text = text.strip()
+            if text:
+                return text
+
+    def __iter__(self) -> Iterator[str]:
+        return self
+
+    def __next__(self) -> str:
+        parts = [self._next_raw()]
+        if self.do_packing:
+            total = len(parts[0])
+            while total < self.min_chars:
+                nxt = self._next_raw()
+                total += len(self.eos) + len(nxt)
+                parts.append(nxt)
+        return self.eos.join(parts)
+
+
+# ----------------------------------------------------------------- datasets
 class TrainDataset(TorchIterableDataset):
+    """Infinite stream of text batches.
+
+    Default mode emits single-language batches: one language is drawn per
+    batch from `language_probs` and the whole batch comes from that
+    language's stream (`lang_code` = that language). With
+    `mix_languages=True` the language is drawn per TEXT and the batch is
+    tagged `lang_code="all"`.
+    """
+
     def __init__(
         self,
         langs: Sequence[str],
@@ -77,28 +181,25 @@ class TrainDataset(TorchIterableDataset):
         texts_by_lang: Optional[Dict[str, List[str]]] = None,
         do_sequence_packing: bool = True,
         eos_token: Optional[str] = None,
+        mix_languages: bool = False,
+        seed: int = 0,
     ):
-        self.langs = list(langs)
-        probs = (
-            np.asarray(language_probs, dtype=np.float64)
-            if language_probs is not None
-            else np.ones(len(self.langs))
-        )
+        self.langs = [l for l in langs if l != "all"]
+        if language_probs is None:
+            probs = np.ones(len(self.langs), dtype=np.float64)
+        else:
+            probs = np.asarray(language_probs, dtype=np.float64)
+            assert len(probs) == len(self.langs)
         self.language_probs = probs / probs.sum()
         self.batch_size = batch_size
-        self.block_size = block_size
+        self.min_chars = block_size * MAX_CHARS_PER_TOKEN
         self.do_sequence_packing = do_sequence_packing
-        self.min_char_length = block_size * MAX_CHARS_PER_TOKEN
         self.eos_token = eos_token
+        self.mix_languages = mix_languages
+        self.seed = seed
+        self.dataset = _resolve_sources(self.langs, train_directory, texts_by_lang)
 
-        self.dataset: Dict[str, object] = {}
-        for lang in self.langs:
-            if texts_by_lang is not None and lang in texts_by_lang:
-                self.dataset[lang] = texts_by_lang[lang]
-            else:
-                assert train_directory is not None
-                self.dataset[lang] = _load_lang_texts(train_directory, lang)
-
+    # helpers used by the CLI to warm the per-language sampler pools
     def get_texts_in_each_language(self, n: int) -> Dict[str, List[str]]:
         return {lang: list(self.dataset[lang][:n]) for lang in self.langs}
 
@@ -110,52 +211,51 @@ class TrainDataset(TorchIterableDataset):
                 break
         return texts[:n]
 
+    def _make_streams(self, worker_idx: int, num_workers: int):
+        return {
+            lang: LanguageStream(
+                self.dataset[lang],
+                min_chars=self.min_chars,
+                eos_token=self.eos_token,
+                do_packing=self.do_sequence_packing,
+                seed=self.seed + i,
+                worker_idx=worker_idx,
+                num_workers=num_workers,
+            )
+            for i, lang in enumerate(self.langs)
+        }
+
     def __iter__(self):
         info = get_worker_info()
         num_workers = info.num_workers if info is not None else 1
         worker_idx = info.id if info is not None else 0
-
-        global_rs = {lang: np.random.RandomState(0) for lang in self.langs}
-        local_rs = np.random.RandomState(worker_idx)
-
-        orders = {
-            lang: global_rs[lang].permutation(len(self.dataset[lang]))[worker_idx::num_workers]
-            for lang in self.langs
-        }
-        position = {lang: 0 for lang in self.langs}
+        streams = self._make_streams(worker_idx, num_workers)
+        rng = np.random.default_rng([self.seed, 977, worker_idx])
 
         while True:
-            texts = []
-            language = self.langs[0]
-            for _ in range(self.batch_size):
-                language = local_rs.choice(self.langs, p=self.language_probs)
-                text = ""
-                while len(text) < self.min_char_length:
-                    index = int(orders[language][position[language]])
-                    current = self.dataset[language][index].strip()
-                    position[language] += 1
-                    if position[language] == len(orders[language]):
-                        orders[language] = global_rs[language].permutation(
-                            len(self.dataset[language])
-                        )[worker_idx::num_workers]
-                        position[language] = 0
-                    if not current:
-                        continue
-                    text += current
-                    if not self.do_sequence_packing:
-                        break
-                    if self.eos_token is not None:
-                        text += self.eos_token
-                if self.do_sequence_packing and self.eos_token is not None:
-                    text = text[: -len(self.eos_token)]
-                texts.append(text)
-            yield {
-                "texts": texts,
-                "lang_code": "all" if len(self.langs) > 1 else str(language),
-            }
+            if self.mix_languages:
+                choice = rng.choice(
+                    len(self.langs), size=self.batch_size, p=self.language_probs
+                )
+                yield {
+                    "texts": [next(streams[self.langs[c]]) for c in choice],
+                    "lang_code": "all",
+                }
+            else:
+                lang = self.langs[
+                    int(rng.choice(len(self.langs), p=self.language_probs))
+                ]
+                yield {
+                    "texts": [next(streams[lang]) for _ in range(self.batch_size)],
+                    "lang_code": lang,
+                }
 
 
 class ValidDataset(TorchDataset):
+    """Deterministic map-style dataset of per-language text batches: the
+    index space is a precomputed (language, offset) table covering each
+    language's full batches in order."""
+
     def __init__(
         self,
         langs: Sequence[str],
@@ -164,39 +264,70 @@ class ValidDataset(TorchDataset):
         valid_directory: Optional[str] = None,
         texts_by_lang: Optional[Dict[str, List[str]]] = None,
     ):
-        self.langs = list(langs)
+        self.langs = [l for l in langs if l != "all"]
         self.batch_size = batch_size
         self.dataset: Dict[str, List[str]] = {}
+        self._index: List[Tuple[str, int]] = []
         for lang in self.langs:
             if texts_by_lang is not None and lang in texts_by_lang:
                 texts = list(texts_by_lang[lang])
             else:
                 assert valid_directory is not None
-                src = _load_lang_texts(valid_directory, lang)
+                src = open_text_source(valid_directory, lang)
                 texts = list(src[: n_subsample if n_subsample else len(src)])
             if n_subsample is not None:
                 texts = texts[:n_subsample]
             self.dataset[lang] = texts
+            n_batches = len(texts) // batch_size
+            self._index.extend((lang, b * batch_size) for b in range(n_batches))
 
     def __len__(self):
-        return sum(
-            math.floor(len(self.dataset[lang]) / self.batch_size) for lang in self.langs
-        )
+        return len(self._index)
 
     def __getitem__(self, idx):
-        lang_idx = 0
-        while idx >= math.floor(len(self.dataset[self.langs[lang_idx]]) / self.batch_size):
-            idx -= math.floor(len(self.dataset[self.langs[lang_idx]]) / self.batch_size)
-            lang_idx += 1
-        lang = self.langs[lang_idx]
+        lang, start = self._index[idx]
         return {
-            "texts": self.dataset[lang][idx * self.batch_size : (idx + 1) * self.batch_size],
+            "texts": self.dataset[lang][start : start + self.batch_size],
             "lang_code": lang,
         }
 
 
+# ------------------------------------------------------- language weighting
 def language_probs_from_sizes(sizes: Sequence[float], alpha: float = 0.3) -> np.ndarray:
-    """Language sampling probabilities ~ corpus_size^alpha
-    (reference: train.py:259-266, MADLAD page counts ^ alpha)."""
+    """Language sampling probabilities ~ corpus_size^alpha, normalized
+    (reference: train.py:259-266, MADLAD n_pages ^ language_sampling_alpha)."""
     p = np.asarray(sizes, dtype=np.float64) ** alpha
     return p / p.sum()
+
+
+def load_language_list(path: str) -> Tuple[List[str], Optional[np.ndarray]]:
+    """Parse a language-list .txt: one code per line, or "code,weight" lines
+    whose weights become (normalized) sampling probabilities
+    (reference: train.py:248-257)."""
+    with open(path) as f:
+        rows = [line.strip() for line in f if line.strip()]
+    if rows and "," in rows[0]:
+        langs = [r.split(",")[0].strip() for r in rows]
+        weights = np.asarray([float(r.split(",")[1]) for r in rows])
+        return langs, weights / weights.sum()
+    return rows, None
+
+
+def language_sizes_from_metadata(
+    langs: Sequence[str], csv_path: str, size_column: str = "n_pages"
+) -> np.ndarray:
+    """Read per-language corpus sizes from a metadata CSV with a header row
+    (e.g. MADLAD-400's `lang_code,n_pages` table; reference keeps it at
+    data/madlad400_metadata.csv and indexes it in train.py:262)."""
+    with open(csv_path) as f:
+        header = f.readline().strip().split(",")
+        key_i, size_i = header.index("lang_code"), header.index(size_column)
+        table = {}
+        for line in f:
+            cells = line.strip().split(",")
+            if len(cells) > max(key_i, size_i):
+                table[cells[key_i]] = float(cells[size_i])
+    missing = [l for l in langs if l not in table]
+    if missing:
+        raise KeyError(f"languages missing from {csv_path}: {missing}")
+    return np.asarray([table[l] for l in langs])

@@ -121,16 +121,47 @@ def run_training(config: dict, run_name: str = "run"):
         vocab_size=len(hn_tokenizer) + 256,
     )
 
+    # language list + sampling probabilities (reference train.py:248-272):
+    # `langs` may be a list or a path to a .txt (one code per line, optional
+    # "code,weight"); absent explicit weights, a metadata CSV provides corpus
+    # sizes for the size^alpha distribution; else sampling is uniform
+    from ..data.datasets import (
+        language_probs_from_sizes,
+        language_sizes_from_metadata,
+        load_language_list,
+    )
+
+    langs_cfg = config.get("langs", data_cfg.langs)
+    if isinstance(langs_cfg, str):
+        langs, lang_probs = load_language_list(langs_cfg)
+    else:
+        langs, lang_probs = [l for l in langs_cfg if l != "all"], None
+    if len(langs) == 1:
+        lang_probs = np.array([1.0])
+    elif lang_probs is None and config.get("language_metadata_csv"):
+        sizes = language_sizes_from_metadata(langs, config["language_metadata_csv"])
+        lang_probs = language_probs_from_sizes(sizes, data_cfg.language_sampling_alpha)
+    mix_languages = bool(config.get("mix_languages", data_cfg.mix_languages))
+    # with mixed batches "all" is a real lang_index (0), reference train.py:268-270
+    data_cfg = dataclasses.replace(
+        data_cfg, langs=(["all"] + langs) if mix_languages else langs,
+        mix_languages=mix_languages,
+    )
+    hn_cfg = dataclasses.replace(hn_cfg, n_langs=len(data_cfg.langs))
+
     # datasets + collators
     batch_size = config.get("batch_size", 128)
     texts_by_lang = config.get("texts_by_lang")  # in-memory option for tests
     dataset = TrainDataset(
-        langs=data_cfg.langs,
+        langs=langs,
+        language_probs=lang_probs,
         batch_size=batch_size,
         block_size=data_cfg.block_size,
         train_directory=config.get("train_directory"),
         texts_by_lang=texts_by_lang,
         eos_token=reference.all_special_tokens[0] if reference.all_special_tokens else None,
+        mix_languages=mix_languages,
+        seed=train_cfg.seed,
     )
     inner_collator = MLMCollator() if train_cfg.loss == "mlm" else None
     # n-shot / baseline runs train against ONE fixed tokenizer: the
@@ -152,14 +183,20 @@ def run_training(config: dict, run_name: str = "run"):
             )
         else:
             fixed_tokenizer = reference.copy()
+    n_initial = config.get("n_initial_texts", 256)
+    # one sampler pool per batch lang_code: per-language pools normally, a
+    # single mixed "all" pool under mix_languages (reference train.py:387-465)
+    initial_texts = (
+        {"all": dataset.get_texts(n_initial)}
+        if mix_languages
+        else dataset.get_texts_in_each_language(n_initial)
+    )
     collator = Collator(
         reference=reference,
         hn_tokenizer=hn_tokenizer,
         data_config=data_cfg,
         batch_size=batch_size,
-        initial_texts=dataset.get_texts_in_each_language(
-            config.get("n_initial_texts", 256)
-        ),
+        initial_texts=initial_texts,
         fixed_tokenizer=fixed_tokenizer,
         inner_collator=inner_collator,
         seed=train_cfg.seed,
@@ -262,7 +299,7 @@ def run_training(config: dict, run_name: str = "run"):
         valid_collator = Collator(
             reference=reference, hn_tokenizer=hn_tokenizer, data_config=data_cfg,
             batch_size=batch_size,
-            initial_texts={lang: list(valid_ds.dataset[lang][:64]) for lang in data_cfg.langs},
+            initial_texts={lang: texts[:64] for lang, texts in valid_ds.dataset.items()},
             is_validation=True, seed=train_cfg.seed + 1,
         )
 

@@ -406,7 +406,13 @@ class Trainer:
         cfg = self.cfg
         history = []
         running: Dict[str, float] = {}
+        counts: Dict[str, int] = {}
         t0 = time.time()
+
+        def track(key: str, value: float):
+            running[key] = running.get(key, 0.0) + value
+            counts[key] = counts.get(key, 0) + 1
+
         total_micro_steps = cfg.steps * cfg.gradient_accumulation_steps
         for micro_step in range(total_micro_steps):
             step = micro_step // cfg.gradient_accumulation_steps
@@ -429,18 +435,31 @@ class Trainer:
                 batch = next(batch_iterator)
                 self.state, metrics = self.train_step(self.state, self._device_batch(batch))
             for k, v in metrics.items():
-                running[k] = running.get(k, 0.0) + float(v)
+                track(k, float(v))
+            # per-language disaggregation + host data-quality metrics
+            # (reference prepare_batch + logging, train.py:174-189,1481-1530)
+            lang = batch.get("lang_code") if isinstance(batch, dict) else None
+            if lang is not None:
+                if "loss" in metrics:
+                    track(f"{lang}_loss", float(metrics["loss"]))
+                if "attention_mask" in batch:
+                    track(
+                        f"{lang}_pad_ratio",
+                        float((np.asarray(batch["attention_mask"]) == 0).mean()),
+                    )
+                for name, value in (batch.get("metrics") or {}).items():
+                    track(f"{lang}_{name}", float(value))
 
             is_boundary = (micro_step + 1) % cfg.gradient_accumulation_steps == 0
             if is_boundary and (step + 1) % cfg.logging_steps == 0:
-                n = cfg.logging_steps * cfg.gradient_accumulation_steps
-                logged = {k: v / n for k, v in running.items()}
+                logged = {k: v / counts[k] for k, v in running.items()}
                 logged["time"] = time.time() - t0
                 logged["step"] = step + 1
                 history.append(logged)
                 if on_log is not None:
                     on_log(step + 1, logged)
                 running = {}
+                counts = {}
             if is_boundary and cfg.save_steps and (step + 1) % cfg.save_steps == 0:
                 self.save_checkpoint(
                     os.path.join(cfg.output_dir, f"step_{step + 1}"),
