@@ -115,7 +115,19 @@ class Collator:
         self.lang_code = lang_code
         self.inner_collator = inner_collator
         self.is_validation = is_validation
-        self.rng = np.random.default_rng(seed)
+        # per-batch rng: each __call__ reseeds from (seed, batch counter) so
+        # the randomness of batch k is a pure function of the collator seed —
+        # every host (and any replay) draws the identical sampled tokenizer
+        # for the same batch index, the invariant multi-host training needs
+        # (reference instead allgather-replicates host-0's batch,
+        # train.py:1462-1465)
+        self._seed = (
+            int(seed)
+            if seed is not None
+            else int(np.random.SeedSequence().generate_state(1)[0])
+        )
+        self._batch_counter = 0
+        self.rng = np.random.default_rng(self._seed)
         # piece -> hn surface ids, persisted across batches (sampled vocabs
         # repeat pieces heavily, so each distinct piece tokenizes once)
         self._surface_cache: Dict[str, tuple] = {}
@@ -368,6 +380,8 @@ class Collator:
 
     # --------------------------------------------------------------- __call__
     def __call__(self, data, for_identity_step: bool = False) -> Dict[str, np.ndarray]:
+        self.rng = np.random.default_rng([self._seed, self._batch_counter])
+        self._batch_counter += 1
         if for_identity_step:
             indices = self.rng.choice(
                 self.original_length, size=self.cfg.n_token_subsample, replace=False

@@ -89,6 +89,23 @@ def run_training(config: dict, run_name: str = "run"):
     from .config import TrainingConfig
     from .engine import Trainer
 
+    # multi-host bring-up: explicit `distributed` config section
+    # ({"coordinator_address","num_processes","process_id"}, empty {} for
+    # TPU-pod auto-detection) or standard coordinator env vars
+    from ..parallel.multihost import initialize_distributed, should_initialize_distributed
+
+    if should_initialize_distributed(config):
+        dist = config.get("distributed") or {}
+        initialize_distributed(
+            dist.get("coordinator_address"),
+            dist.get("num_processes"),
+            dist.get("process_id"),
+        )
+        print(
+            f"distributed: process {jax.process_index()}/{jax.process_count()}, "
+            f"{jax.local_device_count()}/{jax.device_count()} devices local"
+        )
+
     train_cfg, data_cfg, hn_cfg = load_configs(config)
     os.makedirs(train_cfg.output_dir, exist_ok=True)
 

@@ -189,7 +189,11 @@ class Trainer:
 
     def _build_state(self):
         self._tx = None
-        rng = jax.random.PRNGKey(self.cfg.seed + jax.process_index())
+        # the SAME key on every process: under multi-process GSPMD the init
+        # is one global sharded program, so all hosts must agree on params
+        # and rngs (the reference's per-process seed offset, train.py:586,
+        # only worked because batches were later replicated from host 0)
+        rng = jax.random.PRNGKey(self.cfg.seed)
         if self.mesh is not None:
             abstract = jax.eval_shape(self._init_state_fn, rng)
             shardings = self.state_shardings(abstract)
@@ -389,6 +393,15 @@ class Trainer:
         }
         arrays.pop("metrics", None)
         if self.mesh is not None:
+            if jax.process_count() > 1:
+                # per-process feeding: every host holds the identical global
+                # numpy batch (deterministic pipeline) and materializes only
+                # its own devices' shards
+                from ..parallel.multihost import globalize_batch
+
+                return globalize_batch(
+                    {k: np.asarray(v) for k, v in arrays.items()}, self.mesh
+                )
             return shard_batch(
                 {k: np.asarray(v) for k, v in arrays.items()}, self.mesh
             )
@@ -486,27 +499,29 @@ class Trainer:
 
         os.makedirs(path, exist_ok=True)
         ckptr = ocp.StandardCheckpointer()
+        # arrays are saved SHARDED — every process writes only its own
+        # shards (no host gather; kills the reference's global→host-local
+        # conversion and the combine_checkpoint merge tool)
         ckptr.save(
             os.path.abspath(os.path.join(path, "state")),
-            jax.tree_util.tree_map(np.asarray, self.state.params["hypernet"]),
+            self.state.params["hypernet"],
             force=True,
         )
         if full_state:
             resume = {
                 "opt_state": self.state.opt_state,
-                "step": np.asarray(self.state.step),
-                "dropout_rng": np.asarray(self.state.dropout_rng),
+                "step": self.state.step,
+                "dropout_rng": self.state.dropout_rng,
             }
             if self.cfg.backbone_training == "full":
                 resume["inner"] = self.state.params["inner"]
             ckptr.save(
-                os.path.abspath(os.path.join(path, "resume")),
-                jax.tree_util.tree_map(np.asarray, resume),
-                force=True,
+                os.path.abspath(os.path.join(path, "resume")), resume, force=True
             )
         ckptr.wait_until_finished()
-        with open(os.path.join(path, "hn_config.json"), "w") as f:
-            json.dump(self.hn_config.to_dict(), f, indent=2)
+        if jax.process_index() == 0:
+            with open(os.path.join(path, "hn_config.json"), "w") as f:
+                json.dump(self.hn_config.to_dict(), f, indent=2)
 
     def restore_checkpoint(self, path: str, reset_steps: bool = False):
         """Restore hypernet params (+ optimizer/step/rng when a full-state
@@ -514,32 +529,44 @@ class Trainer:
         reference's resume_from_checkpoint_reset_steps, train.py:780-784)."""
         import orbax.checkpoint as ocp
 
+        def as_abstract(tree):
+            # restore each array DIRECTLY into the live sharding (no host
+            # round-trip): target leaves carry shape/dtype/sharding
+            return jax.tree_util.tree_map(
+                lambda x: jax.ShapeDtypeStruct(
+                    jnp.shape(x), jnp.result_type(x), sharding=getattr(x, "sharding", None)
+                ),
+                tree,
+            )
+
         ckptr = ocp.StandardCheckpointer()
-        target = jax.tree_util.tree_map(np.asarray, self.state.params["hypernet"])
-        restored = ckptr.restore(os.path.abspath(os.path.join(path, "state")), target)
+        restored = ckptr.restore(
+            os.path.abspath(os.path.join(path, "state")),
+            as_abstract(self.state.params["hypernet"]),
+        )
         params = dict(self.state.params)
-        params["hypernet"] = jax.tree_util.tree_map(jnp.asarray, restored)
+        params["hypernet"] = restored
         self.state = self.state.replace(params=params)
 
         resume_path = os.path.join(path, "resume")
         if os.path.exists(resume_path) and not reset_steps:
             resume_target = {
-                "opt_state": jax.tree_util.tree_map(np.asarray, self.state.opt_state),
-                "step": np.asarray(self.state.step),
-                "dropout_rng": np.asarray(self.state.dropout_rng),
+                "opt_state": self.state.opt_state,
+                "step": self.state.step,
+                "dropout_rng": self.state.dropout_rng,
             }
             if self.cfg.backbone_training == "full":
-                resume_target["inner"] = jax.tree_util.tree_map(
-                    np.asarray, self.state.params["inner"]
-                )
-            restored = ckptr.restore(os.path.abspath(resume_path), resume_target)
+                resume_target["inner"] = self.state.params["inner"]
+            restored = ckptr.restore(
+                os.path.abspath(resume_path), as_abstract(resume_target)
+            )
             if "inner" in restored:
                 params = dict(self.state.params)
-                params["inner"] = jax.tree_util.tree_map(jnp.asarray, restored["inner"])
+                params["inner"] = restored["inner"]
                 self.state = self.state.replace(params=params)
             self.state = self.state.replace(
-                opt_state=jax.tree_util.tree_map(jnp.asarray, restored["opt_state"]),
-                step=jnp.asarray(restored["step"]),
-                dropout_rng=jnp.asarray(restored["dropout_rng"]),
+                opt_state=restored["opt_state"],
+                step=restored["step"],
+                dropout_rng=restored["dropout_rng"],
             )
         return int(self.state.step)
