@@ -26,8 +26,12 @@ import pytest  # noqa: E402
 from fixtures import (  # noqa: E402,F401
     CORPUS,
     bert_like_json,
+    big_corpus,
+    bpe_bytelevel_50k_json,
+    bpe_metaspace_50k_json,
     gpt2_like_json,
     llama_like_json,
+    unigram_50k_json,
     xlmr_like_json,
 )
 

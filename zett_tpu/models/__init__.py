@@ -7,6 +7,7 @@ from .hypernet import (
     ProjectorBlock,
     Rescaler,
 )
+from .reference_io import load_reference_hypernet
 
 __all__ = [
     "Hypernet",
@@ -14,4 +15,5 @@ __all__ = [
     "PassthroughHypernet",
     "ProjectorBlock",
     "Rescaler",
+    "load_reference_hypernet",
 ]

@@ -67,6 +67,10 @@ class HypernetConfig:
     position_embedding_type: str = "absolute"
     relative_attention_num_buckets: int = 32
     relative_attention_max_distance: int = 128
+    # encoder-MLP / adapter activation: "gelu_new" (tanh approximation, our
+    # default) or "gelu" (erf-exact — what HF roberta checkpoints and hence
+    # reference hypernet checkpoints use)
+    hidden_act: str = "gelu_new"
 
     def to_dict(self) -> Dict[str, Any]:
         return dataclasses.asdict(self)
@@ -102,6 +106,10 @@ class Rescaler(nn.Module):
         w = (target_stds / (x.std(axis=0) + EPSILON))[None]
         b = (target_means - (x * w).mean(axis=0))[None]
         return w, b
+
+
+def _act(cfg: HypernetConfig):
+    return (lambda x: nn.gelu(x, approximate=False)) if cfg.hidden_act == "gelu" else nn.gelu
 
 
 class ProjectorBlock(nn.Module):
@@ -248,7 +256,7 @@ class EncoderLayer(nn.Module):
             attn_out = updated
 
         h = nn.Dense(cfg.intermediate_size, dtype=self.dtype, name="intermediate")(attn_out)
-        h = nn.gelu(h)
+        h = _act(cfg)(h)
         h = nn.Dense(cfg.hidden_size, dtype=self.dtype, name="output")(h)
         if not deterministic and cfg.hidden_dropout_prob > 0.0:
             h = nn.Dropout(cfg.hidden_dropout_prob)(h, deterministic=False)
@@ -276,7 +284,7 @@ class EncoderLayer(nn.Module):
             la_db = jnp.take(down_b, lang_index, axis=0)
             la_uw = jnp.take(up_w, lang_index, axis=0)
             la_ub = jnp.take(up_b, lang_index, axis=0)
-            mid = nn.gelu(jnp.einsum("...i,io->...o", h, la_dw) + la_db)
+            mid = _act(cfg)(jnp.einsum("...i,io->...o", h, la_dw) + la_db)
             adapted = jnp.einsum("...i,io->...o", mid, la_uw) + la_ub
             h = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype, name="adapter_ln")(adapted + h)
         return h
