@@ -99,6 +99,7 @@ _lib.cuckoo_build.argtypes = [
     ctypes.c_int64, ctypes.c_int32, ctypes.c_void_p, ctypes.c_void_p,
     ctypes.c_void_p,
 ]
+_lib.serde_canon.argtypes = [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64]
 _lib.ac_new.restype = ctypes.c_void_p
 _lib.ac_new.argtypes = [
     ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
@@ -427,6 +428,16 @@ class NativeAhoCorasick:
         acc = np.zeros(n_out or self._n_values, dtype=np.int64)
         _lib.ac_count(self._handle, _ptr(data), _ptr(offsets), len(texts), _ptr(w), _ptr(acc))
         return acc
+
+
+def serde_canon_native(scores: np.ndarray) -> np.ndarray:
+    """Map correctly-rounded doubles to the values serde_json's default
+    parser would produce from their shortest decimal repr (see
+    tokenization/jsonfloat.py for why this matters for HF parity)."""
+    scores = np.ascontiguousarray(scores, dtype=np.float64)
+    out = np.empty_like(scores)
+    _lib.serde_canon(_ptr(scores), _ptr(out), len(scores))
+    return out
 
 
 def substring_counts(vocab: Dict[str, int], pretoken_counts, acc: np.ndarray):

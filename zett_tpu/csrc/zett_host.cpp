@@ -15,8 +15,11 @@
 
 #include <algorithm>
 #include <cassert>
+#include <charconv>
 #include <cmath>
 #include <cstdint>
+#include <cstdio>
+#include <cstdlib>
 #include <cstring>
 #include <limits>
 #include <string>
@@ -25,6 +28,73 @@
 #include <vector>
 
 extern "C" {
+
+// --------------------------------------------------------------------------
+// serde_json float canonicalization.
+//
+// HF `tokenizers` deserializes tokenizer.json through Rust's serde_json,
+// whose default f64 parsing is NOT correctly rounded: it computes
+// fl(fl(significand) * 10^k) with one rounding per step, which differs from
+// the correctly-rounded value (what Python's json produces) by 1 ulp for
+// ~25% of real Unigram scores. Byte-exact Viterbi parity with HF therefore
+// requires holding the scores HF actually holds. serde_canon maps a
+// correctly-rounded double to the value serde_json would have produced when
+// parsing that double's shortest decimal representation (which is what both
+// serde_json's and Python's serializers emit). Empirically a fixed point:
+// serde_canon(serde_canon(x)) == serde_canon(x).
+void serde_canon(const double* in, double* out, int64_t n) {
+  // serde's table holds the f64 literals 1e0..1e308 (nearest doubles);
+  // strtod is correctly rounded, so it reproduces them exactly
+  static const std::vector<double>& POW10 = *[] {
+    auto* t = new std::vector<double>(309);
+    char b[16];
+    for (int k = 0; k < 309; ++k) {
+      std::snprintf(b, sizeof(b), "1e%d", k);
+      (*t)[k] = std::strtod(b, nullptr);
+    }
+    return t;
+  }();
+  char buf[64];
+  for (int64_t i = 0; i < n; ++i) {
+    double x = in[i];
+    if (!std::isfinite(x)) {
+      out[i] = x;
+      continue;
+    }
+    // shortest round-trip decimal (same digits serde_json/Python emit)
+    auto res = std::to_chars(buf, buf + sizeof(buf), x);
+    *res.ptr = '\0';
+    const char* p = buf;
+    bool neg = *p == '-';
+    if (neg) ++p;
+    // collect digits and the effective base-10 exponent
+    uint64_t sig = 0;
+    int exp10 = 0;
+    int n_digits = 0;
+    for (; *p && *p != 'e' && *p != 'E'; ++p) {
+      if (*p == '.') {
+        exp10 = -1000000;  // marker: count fraction digits from here
+        continue;
+      }
+      sig = sig * 10 + (uint64_t)(*p - '0');
+      ++n_digits;
+      if (exp10 <= -1000000) --exp10;  // fraction digit
+    }
+    int frac = exp10 <= -1000000 ? -(exp10 + 1000000) : 0;
+    int e = 0;
+    if (*p == 'e' || *p == 'E') e = (int)strtol(p + 1, nullptr, 10);
+    int exponent = e - frac;
+    double f = (double)sig;  // rounds when sig > 2^53 (the serde behavior)
+    if (exponent >= 0) {
+      // shortest-repr doubles keep |exponent| <= 308 + 17 digits; clamp like
+      // serde's overflow path would never trigger for round-tripped values
+      f *= POW10[std::min(exponent, 308)];
+    } else {
+      f /= POW10[std::min(-exponent, 308)];
+    }
+    out[i] = neg ? -f : f;
+  }
+}
 
 // --------------------------------------------------------------------------
 // Unigram model: trie + Viterbi

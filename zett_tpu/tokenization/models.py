@@ -41,8 +41,15 @@ class Model:
     def from_json(data: dict) -> "Model":
         t = data["type"]
         if t == "Unigram":
+            # Hold the scores HF holds: serde_json's default f64 parsing is
+            # off by 1 ulp from correct rounding for ~25% of real scores,
+            # which flips Viterbi tie-breaks (see jsonfloat.py).
+            from .jsonfloat import serde_canon
+
+            pieces = [p for p, _ in data["vocab"]]
+            scores = serde_canon([s for _, s in data["vocab"]])
             return Unigram(
-                [tuple(p) for p in data["vocab"]],
+                list(zip(pieces, scores)),
                 unk_id=data.get("unk_id"),
                 byte_fallback=data.get("byte_fallback", False),
             )
