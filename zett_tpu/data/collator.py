@@ -354,6 +354,12 @@ class Collator:
             if cfg.do_tokenizer_sampling:
                 assert cfg.tokenizer_sample_max % cfg.pad_to_multiple_of == 0
                 n_pad = cfg.tokenizer_sample_max + cfg.pad_to_multiple_of - length
+                assert n_pad >= 0, (
+                    f"sampled vocab ({length}) exceeds tokenizer_sample_max + "
+                    f"pad_to_multiple_of ({cfg.tokenizer_sample_max} + "
+                    f"{cfg.pad_to_multiple_of}): sample_max must cover the "
+                    "256-char byte alphabet plus special tokens"
+                )
             elif length % cfg.pad_to_multiple_of != 0:
                 n_pad = cfg.pad_to_multiple_of - (length % cfg.pad_to_multiple_of)
             else:

@@ -13,6 +13,9 @@ class DataConfig:
     use_passthrough_hypernet: bool = False
     hn_surface_maxlen: int = 7
     n_token_subsample: Optional[int] = 16384
+    # identity-warmup batches subsample the reference vocab to this size when
+    # set (reference identity_n_subsample, train.py:160,501-502)
+    identity_n_subsample: Optional[int] = None
     pad_to_multiple_of: int = 128
     subsample_mode: str = "random"  # "random" | "positives_only"
     tokenizer_sample_mean: float = 32768.0

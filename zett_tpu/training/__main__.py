@@ -221,7 +221,12 @@ def run_training(config: dict, run_name: str = "run"):
     identity_collator = None
     if train_cfg.identity_steps > 0:
         id_data_cfg = dataclasses.replace(
-            data_cfg, do_tokenizer_sampling=False
+            data_cfg, do_tokenizer_sampling=False,
+            n_token_subsample=(
+                data_cfg.identity_n_subsample
+                if data_cfg.identity_n_subsample is not None
+                else data_cfg.n_token_subsample
+            ),
         )
         identity_collator = Collator(
             reference=reference,
