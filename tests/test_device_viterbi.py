@@ -95,22 +95,22 @@ def test_sharded_counting_psum(vocab, pretokens):
     pts = pretokens[:512]
     rows, lens = pack_pretokens(pts, 48)
     mesh = make_mesh(n_data=8, n_model=1)
-    ta, tb = dev._dev_table
+    tab = dev._dev_table
     import jax.numpy as jnp
 
     rows_s = jax.device_put(jnp.asarray(rows), NamedSharding(mesh, P("data", None)))
     lens_s = jax.device_put(jnp.asarray(lens), NamedSharding(mesh, P("data")))
     _, bk, bi = viterbi_device(
-        rows_s, lens_s, ta, tb, dev.unk_score, K=dev.K,
+        rows_s, lens_s, tab, dev.table.salt, dev.unk_score, K=dev.K,
     )
     counts = count_token_usage(bk, bi, lens_s, dev.n_pieces)
     expected = dev.token_counts(pts)
     np.testing.assert_array_equal(np.asarray(counts), expected)
 
 
-def test_cuckoo_build_native_matches_python():
-    """The C++ cuckoo table build is bit-identical to the Python reference
-    (same fingerprints, same kick order), so lookups behave identically."""
+def test_bucket4_build_native_matches_python():
+    """The C++ bucket-4 table build is bit-identical to the Python reference
+    (same fingerprints, same entry order), so lookups behave identically."""
     from zett_tpu.ops.device_viterbi import build_vocab_table
 
     rng = np.random.default_rng(7)
@@ -118,6 +118,29 @@ def test_cuckoo_build_native_matches_python():
     scores = rng.normal(size=len(pieces)).tolist()
     nat = build_vocab_table(pieces, scores, use_native=True)
     py = build_vocab_table(pieces, scores, use_native=False)
-    np.testing.assert_array_equal(nat.table_a, py.table_a)
-    np.testing.assert_array_equal(nat.table_b, py.table_b)
+    np.testing.assert_array_equal(nat.table, py.table)
+    assert nat.salt == py.salt
     assert nat.max_piece_len == py.max_piece_len
+
+
+def test_count_tokens_device_matches_host(vocab, pretokens):
+    """count_tokens_device (the prior pipeline's on-device counting path,
+    psum over the data axis) agrees with the host-side token_counts on a
+    weighted pretoken multiset, sharded and unsharded."""
+    from collections import Counter
+
+    from zett_tpu.ops.device_viterbi import count_tokens_device
+    from zett_tpu.parallel import make_mesh
+
+    pieces, scores = vocab
+    pts = [p[:16] for p in pretokens[:700]]
+    weighted = Counter(pts)
+    dev = DeviceRetokenizer(pieces, scores, max_pretoken_len=16)
+    expected = dev.token_counts(pts)
+
+    got_single = count_tokens_device(pieces, scores, weighted)
+    np.testing.assert_array_equal(got_single, expected)
+
+    mesh = make_mesh(n_data=8, n_model=1)
+    got_sharded = count_tokens_device(pieces, scores, weighted, mesh=mesh)
+    np.testing.assert_array_equal(got_sharded, expected)

@@ -100,6 +100,11 @@ _lib.cuckoo_build.argtypes = [
     ctypes.c_void_p,
 ]
 _lib.serde_canon.argtypes = [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64]
+_lib.bucket4_build.restype = ctypes.c_int32
+_lib.bucket4_build.argtypes = [
+    ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+    ctypes.c_int64, ctypes.c_uint32, ctypes.c_void_p, ctypes.c_void_p,
+]
 _lib.ac_new.restype = ctypes.c_void_p
 _lib.ac_new.argtypes = [
     ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
@@ -385,6 +390,25 @@ def merge_counts(
         return keys.tobytes()[: key_bytes], key_offsets, values[:n]
     finally:
         _lib.countmap_free(merged)
+
+
+def bucket4_build_native(
+    pieces: Sequence[bytes], scores: Sequence[float], M: int, salt: int
+):
+    """Build the device retokenizer's single-gather bucket-4 vocab table.
+    Returns (table (M,16) int32, max_piece_len) or None if a bucket
+    overflows (caller bumps the salt / doubles M)."""
+    data, offsets = _concat_bytes(pieces)
+    scores_arr = np.asarray(scores, dtype=np.float32)
+    table = np.empty((M, 16), dtype=np.int32)
+    maxlen = np.zeros(1, dtype=np.int32)
+    ok = _lib.bucket4_build(
+        _ptr(data), _ptr(offsets), _ptr(scores_arr), len(pieces), M,
+        ctypes.c_uint32(salt), _ptr(table), _ptr(maxlen),
+    )
+    if not ok:
+        return None
+    return table, int(maxlen[0])
 
 
 def cuckoo_build_native(

@@ -990,6 +990,57 @@ int32_t cuckoo_build(const uint8_t* piece_data, const int64_t* offsets,
   return 1;
 }
 
+// Single-gather vocab table for the device retokenizer: (M, 16) int32 rows =
+// 4 entries of [key1, key2, score_bits, piece_id]; slot = fmix32(h1 ^ salt)
+// % M. One span lookup is ONE row-gather (TPU gathers are latency-bound, so
+// halving the gather count vs the two-choice cuckoo layout halves the span
+// phase). Returns 1 on success, 0 if any bucket overflows 4 entries (caller
+// bumps the salt or doubles M). Bit-identical to the Python fallback.
+int32_t bucket4_build(const uint8_t* piece_data, const int64_t* offsets,
+                      const float* scores, int64_t n_pieces, int64_t M,
+                      uint32_t salt, int32_t* table, int32_t* out_maxlen) {
+  std::memset(table, 0, (size_t)M * 16 * sizeof(int32_t));
+  auto* t = (uint32_t*)table;
+  std::unordered_map<uint64_t, bool> seen;
+  seen.reserve((size_t)n_pieces * 2);
+  int32_t max_len = 1;
+  const uint32_t P1 = 0x01000193u, P2 = 0x85EBCA6Bu;
+  const uint32_t OFF1 = 0x811C9DC5u, OFF2 = 0x9E3779B9u;
+  for (int64_t pid = 0; pid < n_pieces; ++pid) {
+    const uint8_t* begin = piece_data + offsets[pid];
+    const uint8_t* end = piece_data + offsets[pid + 1];
+    if (begin == end) continue;
+    uint32_t h1 = OFF1, h2 = OFF2;
+    for (const uint8_t* p = begin; p != end; ++p) {
+      h1 = h1 * P1 + (uint32_t)(*p) + 1u;
+      h2 = h2 * P2 + (uint32_t)(*p) + 1u;
+    }
+    if (h1 == 0) h1 = 1;
+    uint64_t fp = ((uint64_t)h1 << 32) | h2;
+    if (seen.count(fp)) continue;  // first occurrence wins
+    seen.emplace(fp, true);
+    if ((int32_t)(end - begin) > max_len) max_len = (int32_t)(end - begin);
+    uint32_t score_bits;
+    float s = scores[pid];
+    std::memcpy(&score_bits, &s, 4);
+    uint64_t base = (uint64_t)(zmix32(h1 ^ salt) % (uint32_t)M) * 16;
+    bool placed = false;
+    for (int e = 0; e < 4; ++e) {
+      if (t[base + e * 4] == 0) {
+        t[base + e * 4] = h1;
+        t[base + e * 4 + 1] = h2;
+        t[base + e * 4 + 2] = score_bits;
+        t[base + e * 4 + 3] = (uint32_t)pid;
+        placed = true;
+        break;
+      }
+    }
+    if (!placed) return 0;
+  }
+  *out_maxlen = max_len;
+  return 1;
+}
+
 // --------------------------------------------------------------------------
 // Aho-Corasick multi-pattern counting (substring prior)
 // --------------------------------------------------------------------------

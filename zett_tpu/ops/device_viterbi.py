@@ -7,22 +7,30 @@ merge table / unigram scores replicated, token-frequency counts reduced via
 psum collectives."
 
 Formulation (TPU-friendly, static shapes): pretokens are padded byte rows
-(B, L). The vocab is compiled on host into a **cuckoo hash table** (two
-choices, no probing chains) whose slots are fused int32 rows
-[key1, key2, score_bits, piece_id] — so one span lookup is exactly two
-row-gathers instead of a probe chain of scalar gathers (TPU gathers are
-HBM-latency-bound; the fused layout cuts them 12x vs. 8-probe open
-addressing). On device, rolling double fingerprints for every
-(start, length<=K) span are computed in one vectorized pass, the two slots
-gathered and compared, and the Viterbi DP runs as a lax.scan over the L axis
-with the whole batch vectorized. Backtracking emits token ids via a second
-pass. Counting reduces with psum over the data axis of the mesh.
+(B, L). The vocab is compiled on host into a **single-gather bucket-4 hash
+table**: (M, 16) int32 rows holding four fused entries
+[key1, key2, score_bits, piece_id], slot = fmix32(h1 ^ salt) % M at load
+factor <= 1/4 wrt buckets (salted rebuild on the rare overflow). TPU gathers
+are HBM-latency-bound — the row WIDTH is nearly free (a 64B row gathers at
+the same rate as a 16B row) while the gather COUNT is what costs, so one
+64B-row gather per span is ~2x faster than the two-choice cuckoo layout this
+replaces, and ~12x faster than an 8-probe open-addressing chain. On device,
+rolling double fingerprints for every (start, length<=K) span are computed in
+one vectorized pass, the bucket row gathered and compared against all four
+entries, and the Viterbi DP runs as a lax.scan over the L axis with the whole
+batch vectorized (or as the Pallas kernel in pallas_viterbi.py — measured at
+parity with the scan: the spans phase, not the DP, is the bottleneck).
+Backtracking emits token ids via a second pass. Counting reduces with psum
+over the data axis of the mesh (count_tokens_device).
 
-The high-level DeviceRetokenizer additionally **dedups** pretoken rows before
-dispatch and memoizes segmentations across calls — corpora are Zipfian, so
-the device only ever sees each distinct pretoken once (the same trick the
-host fast-encode path uses), which multiplies effective bytes/s by the
-corpus' repetition factor.
+The high-level DeviceRetokenizer additionally **buckets pretokens by length**
+(widths 8/12/16: span count grows as L*K, and most pretokens are short — the
+histogram of a realistic corpus puts ~70% of unique pretokens at <=8 bytes,
+so bucketing cuts the span grid ~2x) and **dedups** rows before dispatch,
+memoizing segmentations across calls — corpora are Zipfian, so the device
+only ever sees each distinct pretoken once (the same trick the host
+fast-encode path uses), which multiplies effective bytes/s by the corpus'
+repetition factor.
 """
 
 from __future__ import annotations
@@ -40,7 +48,6 @@ _P1 = 0x01000193  # FNV-ish multipliers
 _P2 = 0x85EBCA6B
 _OFF1 = 0x811C9DC5
 _OFF2 = 0x9E3779B9
-_SALT_B = 0x7FEB352D
 
 
 def _fingerprints(piece: bytes) -> Tuple[int, int]:
@@ -64,44 +71,56 @@ def _mix32(h: int) -> int:
     return h
 
 
-class CuckooTable:
-    """Two-choice cuckoo hash of pieces -> (score, id), fused row layout.
+class PackedTable:
+    """Single-gather bucket-4 hash of pieces -> (score, id).
 
-    table_a/table_b: (M, 4) int32 — [key1, key2, score_bits, piece_id];
-    key1 == 0 marks an empty slot."""
+    table: (M, 16) int32 — four entries of [key1, key2, score_bits,
+    piece_id] per bucket row; key1 == 0 marks an empty entry. One span
+    lookup = one row gather + four fused compares."""
 
-    __slots__ = ("table_a", "table_b", "max_piece_len", "M")
+    __slots__ = ("table", "salt", "max_piece_len", "M")
 
-    def __init__(self, table_a, table_b, max_piece_len):
-        self.table_a = table_a
-        self.table_b = table_b
+    def __init__(self, table, salt, max_piece_len):
+        self.table = table
+        self.salt = salt
         self.max_piece_len = max_piece_len
-        self.M = table_a.shape[0]
+        self.M = table.shape[0]
 
 
 def build_vocab_table(
-    pieces: Sequence[bytes], scores: Sequence[float], max_kicks: int = 64,
-    use_native: bool = True,
-) -> CuckooTable:
+    pieces: Sequence[bytes], scores: Sequence[float], use_native: bool = True,
+) -> PackedTable:
+    """Build the device vocab table (fresh per sampled tokenizer = once per
+    training batch; the native build is single-pass). Bucket load factor
+    stays <= 1/4 entries-per-slot in expectation, so a bucket overflowing its
+    4 entries is rare — bump the salt, then double M if salts keep failing."""
     n = max(1, len(pieces))
     M = 1 << int(np.ceil(np.log2(max(n, 32))))
+    _hl = None
     if use_native:
         try:
             from zett_tpu.csrc import host_lib as _hl
         except Exception:  # pragma: no cover - C++ lib optional
             _hl = None
-        if _hl is not None:
-            # native build (a fresh table per sampled tokenizer = once per
-            # training batch); bit-identical to the Python loop below
-            while True:
-                out = _hl.cuckoo_build_native(pieces, scores, M, max_kicks)
+
+    while True:
+        for salt in range(8):
+            if _hl is not None:
+                out = _hl.bucket4_build_native(pieces, scores, M, salt)
                 if out is not None:
-                    ta, tb, max_len = out
-                    return CuckooTable(ta, tb, max_len)
-                M *= 2
-    entries = []
-    max_len = 1
+                    return PackedTable(out[0], salt, out[1])
+            else:
+                out = _bucket4_build_py(pieces, scores, M, salt)
+                if out is not None:
+                    return PackedTable(out[0], salt, out[1])
+        M *= 2
+
+
+def _bucket4_build_py(pieces, scores, M, salt):
+    """Python reference build, bit-identical to the C++ one."""
+    table = np.zeros((M, 16), dtype=np.int64)
     seen = set()
+    max_len = 1
     for pid, (piece, score) in enumerate(zip(pieces, scores)):
         if not piece:
             continue
@@ -110,41 +129,15 @@ def build_vocab_table(
             continue  # first occurrence wins (duplicate piece)
         seen.add((h1, h2))
         max_len = max(max_len, len(piece))
-        sbits = int(np.float32(score).view(np.int32))
-        entries.append((h1, h2, sbits, pid))
-
-    while True:
-        ta = np.zeros((M, 4), dtype=np.int64)
-        tb = np.zeros((M, 4), dtype=np.int64)
-        ok = True
-        for entry in entries:
-            cur = entry
-            side = 0
-            placed = False
-            for _ in range(max_kicks):
-                if side == 0:
-                    slot = _mix32(cur[0]) % M
-                    if ta[slot, 0] == 0:
-                        ta[slot] = cur
-                        placed = True
-                        break
-                    cur, ta[slot] = tuple(ta[slot]), cur
-                    side = 1
-                else:
-                    slot = _mix32(cur[1] ^ _SALT_B) % M
-                    if tb[slot, 0] == 0:
-                        tb[slot] = cur
-                        placed = True
-                        break
-                    cur, tb[slot] = tuple(tb[slot]), cur
-                    side = 0
-            if not placed:
-                ok = False
+        sbits = int(np.float32(score).view(np.int32)) & 0xFFFFFFFF
+        slot = _mix32(h1 ^ salt) % M
+        for e in range(4):
+            if table[slot, e * 4] == 0:
+                table[slot, e * 4 : e * 4 + 4] = (h1, h2, sbits, pid)
                 break
-        if ok:
-            to_i32 = lambda t: t.astype(np.uint32).view(np.int32).reshape(M, 4)
-            return CuckooTable(to_i32(ta), to_i32(tb), max_len)
-        M *= 2  # grow and retry
+        else:
+            return None
+    return table.astype(np.uint32).view(np.int32).reshape(M, 16), max_len
 
 
 def pack_pretokens(
@@ -170,14 +163,14 @@ def _fmix32_dev(h):
     return h ^ (h >> 16)
 
 
-def compute_span_scores(rows, lens, table_a, table_b, unk_score, K: int):
-    """Vectorized cuckoo lookup of all (start, len<=K) spans -> (S, I), each
-    (B, L, K): span scores (NEG where absent/invalid) and piece ids.
+def compute_span_scores(rows, lens, table, salt, unk_score, K: int):
+    """Vectorized bucket-4 lookup of all (start, len<=K) spans -> (S, I),
+    each (B, L, K): span scores (NEG where absent/invalid) and piece ids.
 
-    Exactly two row-gathers per span (cuckoo's two choices); the fused
-    (M, 4) layout fetches keys+score+id in one slice each."""
+    Exactly ONE row-gather per span; the fused (M, 16) bucket fetches four
+    candidate entries' keys+scores+ids in one slice."""
     B, L = rows.shape
-    M = table_a.shape[0]
+    M = table.shape[0]
     bytes_u32 = rows.astype(jnp.uint32)
     h1 = jnp.full((B, L), _OFF1, dtype=jnp.uint32)
     h2 = jnp.full((B, L), _OFF2, dtype=jnp.uint32)
@@ -190,25 +183,22 @@ def compute_span_scores(rows, lens, table_a, table_b, unk_score, K: int):
         h2 = h2 * jnp.uint32(_P2) + shifted + 1
         hh1 = jnp.where(h1 == 0, jnp.uint32(1), h1)
 
-        slot_a = (_fmix32_dev(hh1) % jnp.uint32(M)).astype(jnp.int32)
-        slot_b = (_fmix32_dev(h2 ^ jnp.uint32(_SALT_B)) % jnp.uint32(M)).astype(
+        slot = (_fmix32_dev(hh1 ^ jnp.uint32(salt)) % jnp.uint32(M)).astype(
             jnp.int32
         )
-        row_a = jnp.take(table_a, slot_a, axis=0)  # (B, L, 4)
-        row_b = jnp.take(table_b, slot_b, axis=0)
+        row = jnp.take(table, slot, axis=0)  # (B, L, 16)
+        ent = row.reshape(B, L, 4, 4)  # four entries per bucket
 
         key1 = hh1.astype(jnp.int32)
         key2 = h2.astype(jnp.int32)
-        hit_a = (row_a[..., 0] == key1) & (row_a[..., 1] == key2)
-        hit_b = (row_b[..., 0] == key1) & (row_b[..., 1] == key2)
-        sel = jnp.where(hit_a[..., None], row_a, row_b)
-        hit = hit_a | hit_b
-        score_k = jnp.where(
-            hit, jax.lax.bitcast_convert_type(sel[..., 2], jnp.float32), NEG
+        hit = (ent[..., 0] == key1[..., None]) & (ent[..., 1] == key2[..., None])
+        score_e = jnp.where(
+            hit, jax.lax.bitcast_convert_type(ent[..., 2], jnp.float32), NEG
         )
-        id_k = jnp.where(hit, sel[..., 3], -1)
-        span_scores.append(score_k)
-        span_ids.append(id_k)
+        id_e = jnp.where(hit, ent[..., 3], -1)
+        # at most one entry matches (keys are unique)
+        span_scores.append(score_e.max(axis=-1))
+        span_ids.append(id_e.max(axis=-1))
     S = jnp.stack(span_scores, axis=-1)  # (B, L, K)
     I = jnp.stack(span_ids, axis=-1)
 
@@ -228,8 +218,8 @@ def compute_span_scores(rows, lens, table_a, table_b, unk_score, K: int):
 def viterbi_device(
     rows: jnp.ndarray,  # (B, L) int32 bytes
     lens: jnp.ndarray,  # (B,) int32
-    table_a: jnp.ndarray,  # (M, 4) int32 cuckoo
-    table_b: jnp.ndarray,
+    table: jnp.ndarray,  # (M, 16) int32 bucket-4
+    salt: int,
     unk_score: float,
     K: int = 16,
     with_backtrack: bool = True,
@@ -237,13 +227,18 @@ def viterbi_device(
     """Batched Viterbi. Returns (best_scores (B,), back_k (B, L+1) int32,
     back_id (B, L+1) int32) where back_k[j] is the length of the best piece
     ending at j (0 where unreachable)."""
-    S, I = compute_span_scores(rows, lens, table_a, table_b, unk_score, K)
+    S, I = compute_span_scores(rows, lens, table, salt, unk_score, K)
     B, L = rows.shape
 
-    # DP over positions: dp[j+1..j+K] relax from dp[j]
-    dp0 = jnp.full((B, L + K), NEG, dtype=jnp.float32).at[:, 0].set(0.0)
-    bk0 = jnp.zeros((B, L + K), dtype=jnp.int32)
-    bi0 = jnp.full((B, L + K), -1, dtype=jnp.int32)
+    # DP over positions: dp[j+1..j+K] relax from dp[j]. The initial carries
+    # derive from `rows` so they inherit its varying-manual-axes type under
+    # shard_map (a constant carry + varying updates is a type error there);
+    # outside shard_map the +0 folds away.
+    vary_f = (rows[:, :1] * 0).astype(jnp.float32)  # (B, 1)
+    vary_i = rows[:, :1] * 0
+    dp0 = jnp.full((B, L + K), NEG, dtype=jnp.float32).at[:, 0].set(0.0) + vary_f
+    bk0 = jnp.zeros((B, L + K), dtype=jnp.int32) + vary_i
+    bi0 = jnp.full((B, L + K), -1, dtype=jnp.int32) + vary_i
 
     def step(carry, j):
         dp, bk, bi = carry
@@ -272,13 +267,16 @@ def viterbi_device(
 
 @partial(jax.jit, static_argnames=("K", "tile_b"))
 def viterbi_device_pallas(
-    rows, lens, table_a, table_b, unk_score, K: int = 16, tile_b: int = 256
+    rows, lens, table, salt, unk_score, K: int = 16, tile_b: int = 256
 ):
     """Same contract as viterbi_device but with the DP phase as a Pallas
-    kernel (dp/backpointers resident in VMEM, one launch per batch tile)."""
+    kernel (dp/backpointers resident in VMEM, one launch per batch tile).
+    Measured at parity with the lax.scan DP on v5e (the spans phase
+    dominates); kept as the explicit-kernel path and benchmarked in
+    bench.py."""
     from .pallas_viterbi import viterbi_dp_pallas
 
-    S, I = compute_span_scores(rows, lens, table_a, table_b, unk_score, K)
+    S, I = compute_span_scores(rows, lens, table, salt, unk_score, K)
     L = rows.shape[1]
     dp, bk, bi = viterbi_dp_pallas(S, I, tile_b=tile_b)
     best = jnp.take_along_axis(dp, lens[:, None], axis=1)[:, 0]
@@ -355,21 +353,98 @@ def count_token_usage(back_k, back_id, lens, n_pieces: int, weights=None):
         j = jnp.maximum(j - jnp.maximum(k, 1), 0)
         return (j, counts), None
 
-    counts0 = jnp.zeros(n_pieces + 1, dtype=jnp.int32)  # +1 overflow bucket
+    # +1 overflow bucket; + lens[:1]*0 inherits the varying type under
+    # shard_map (see viterbi_device), a no-op otherwise
+    counts0 = jnp.zeros(n_pieces + 1, dtype=jnp.int32) + lens[:1] * 0
     (j, counts), _ = jax.lax.scan(body, (lens, counts0), None, length=L1)
     return counts[:n_pieces]
+
+
+def count_tokens_device(
+    pieces: Sequence[bytes],
+    scores: Sequence[float],
+    pretoken_counts,  # Mapping[bytes, int]
+    mesh=None,
+    max_pretoken_len: int = 16,
+    K: int = 16,
+) -> np.ndarray:
+    """Corpus token-usage counts entirely on-device (BASELINE north star:
+    "token-frequency counts reduced via psum collectives").
+
+    Pretokens are deduped on host (weights = multiplicities), packed into
+    byte rows, and sharded over the mesh's "data" axis; every device runs
+    Viterbi + chain-following count_token_usage on its shard and the final
+    (V,) histogram reduces with one psum. Only the counts ever leave the
+    devices — no backtrack transfer. Single-device without a mesh.
+
+    Replaces the host pass the reference does with HF `tokenizers` +
+    np.unique when reestimating priors (zett/utils.py:291-315 with input_ids
+    produced by the Rust encode)."""
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    table = build_vocab_table(pieces, scores)
+    K = min(K, table.max_piece_len)
+    unk_score = (min(scores) if len(scores) else 0.0) - 10.0
+    n_pieces = len(pieces)
+
+    agg: Dict[bytes, int] = {}
+    for p, w in pretoken_counts.items():
+        key = p[:max_pretoken_len]
+        agg[key] = agg.get(key, 0) + int(w)
+    keys = list(agg.keys())
+    if not keys:
+        return np.zeros(n_pieces, dtype=np.int64)
+    rows, lens = pack_pretokens(keys, max_pretoken_len)
+    weights = np.fromiter((agg[k] for k in keys), dtype=np.int32, count=len(keys))
+
+    n_data = int(mesh.shape.get("data", 1)) if mesh is not None else 1
+    pad = (-len(keys)) % max(n_data, 1)
+    if pad:
+        rows = np.pad(rows, ((0, pad), (0, 0)))
+        lens = np.pad(lens, (0, pad))
+        weights = np.pad(weights, (0, pad))
+
+    tab = jnp.asarray(table.table)
+
+    def _count(rows, lens, weights, tab):
+        _, bk, bi = viterbi_device(rows, lens, tab, table.salt, unk_score, K=K)
+        return count_token_usage(bk, bi, lens, n_pieces, weights=weights)
+
+    if mesh is None or n_data == 1:
+        counts = _count(
+            jnp.asarray(rows), jnp.asarray(lens), jnp.asarray(weights), tab
+        )
+        return np.asarray(counts, dtype=np.int64)
+
+    shard = P("data")
+    fn = shard_map(
+        lambda r, l, w, t: jax.lax.psum(_count(r, l, w, t), "data"),
+        mesh=mesh,
+        in_specs=(shard, shard, shard, P()),
+        out_specs=P(),
+    )
+    counts = jax.jit(fn)(
+        jnp.asarray(rows), jnp.asarray(lens), jnp.asarray(weights), tab
+    )
+    return np.asarray(counts, dtype=np.int64)
 
 
 class DeviceRetokenizer:
     """High-level wrapper: host packs + dedups pretokens, device does Viterbi.
 
-    Dedup is two-level: per call, identical pretoken rows collapse to one
-    (np.unique); across calls, segmentations are memoized so a pretoken seen
-    in any earlier batch never reaches the device again (Zipfian corpora
-    repeat heavily — this is where the effective throughput comes from)."""
+    Dedup is two-level: per call, identical pretoken rows collapse to one;
+    across calls, segmentations are memoized so a pretoken seen in any
+    earlier batch never reaches the device again (Zipfian corpora repeat
+    heavily — this is where the effective throughput comes from). Unique
+    rows are split into length buckets (widths multiples of 4 up to
+    max_pretoken_len) so short pretokens don't pay the full (L, K) span
+    grid."""
+
+    BUCKET_WIDTHS = (8, 12, 16)
 
     def __init__(self, pieces: Sequence[bytes], scores: Sequence[float],
-                 max_pretoken_len: int = 64, K: int = 16,
+                 max_pretoken_len: int = 16, K: int = 16,
                  memoize: bool = True):
         self.table = build_vocab_table(pieces, scores)
         self.K = min(K, self.table.max_piece_len)
@@ -377,33 +452,55 @@ class DeviceRetokenizer:
         min_score = min(scores) if len(scores) else 0.0
         self.unk_score = float(min_score) - 10.0
         self.n_pieces = len(pieces)
-        self._dev_table = (
-            jnp.asarray(self.table.table_a),
-            jnp.asarray(self.table.table_b),
-        )
+        self._dev_table = jnp.asarray(self.table.table)
         self.memoize = memoize
         self._cache: Dict[bytes, List[int]] = {}
+        # the last bucket is always max_pretoken_len wide, so over-long
+        # pretokens truncate exactly as pack_pretokens always did
+        self._widths = sorted(
+            {w for w in self.BUCKET_WIDTHS if w < max_pretoken_len}
+            | {max_pretoken_len}
+        )
 
-    def _segment_unique(self, unique_pretokens: Sequence[bytes]) -> List[List[int]]:
-        """Device Viterbi + host backtrack for pretokens not seen before.
-        The batch is padded to power-of-two buckets so jit compiles once per
-        bucket, not once per distinct unique-row count."""
-        if not unique_pretokens:
-            return []
-        rows, lens = pack_pretokens(unique_pretokens, self.max_pretoken_len)
+    def _segment_bucket(self, pretokens: List[bytes], width: int) -> List[List[int]]:
+        rows, lens = pack_pretokens(pretokens, width)
         n = rows.shape[0]
         bucket = max(256, 1 << int(np.ceil(np.log2(n))))
         if bucket > n:
             rows = np.pad(rows, ((0, bucket - n), (0, 0)))
             lens = np.pad(lens, (0, bucket - n))
-        ta, tb = self._dev_table
+        K = min(self.K, width)
         _, bk, bi = viterbi_device(
-            jnp.asarray(rows), jnp.asarray(lens), ta, tb, self.unk_score, K=self.K
+            jnp.asarray(rows), jnp.asarray(lens), self._dev_table,
+            self.table.salt, self.unk_score, K=K,
         )
         # backtrack on device; fetch ONE (B, L) ids array instead of both
         # backpointer arrays (the host<->device transfer dominates)
         ids_rev = np.asarray(backtrack_device(bk, bi, jnp.asarray(lens)))
         return unpack_backtrack(ids_rev[:n])
+
+    def _segment_unique(self, unique_pretokens: Sequence[bytes]) -> List[List[int]]:
+        """Device Viterbi + host backtrack for pretokens not seen before,
+        length-bucketed; each bucket is padded to power-of-two batch sizes so
+        jit compiles once per (batch-bucket, width) pair."""
+        if not unique_pretokens:
+            return []
+        out: List[Optional[List[int]]] = [None] * len(unique_pretokens)
+        last = self._widths[-1]
+        for wi, width in enumerate(self._widths):
+            lo = self._widths[wi - 1] if wi else -1  # first bucket takes len 0
+            idx = [
+                i for i, p in enumerate(unique_pretokens)
+                if lo < len(p) <= width or (width == last and len(p) > last)
+            ]
+            if not idx:
+                continue
+            segs = self._segment_bucket(
+                [unique_pretokens[i] for i in idx], width
+            )
+            for i, seg in zip(idx, segs):
+                out[i] = seg
+        return out  # type: ignore[return-value]
 
     def _segmentations(self, pretokens: Sequence[bytes]) -> List[List[int]]:
         if self.memoize:
@@ -428,10 +525,9 @@ class DeviceRetokenizer:
         keys = [p[: self.max_pretoken_len] for p in pretokens]
         uniq = list(dict.fromkeys(keys))
         rows, lens = pack_pretokens(uniq, self.max_pretoken_len)
-        ta, tb = self._dev_table
         best, _, _ = viterbi_device(
-            jnp.asarray(rows), jnp.asarray(lens), ta, tb, self.unk_score,
-            K=self.K, with_backtrack=False,
+            jnp.asarray(rows), jnp.asarray(lens), self._dev_table,
+            self.table.salt, self.unk_score, K=self.K, with_backtrack=False,
         )
         best = dict(zip(uniq, np.asarray(best)))
         return np.asarray([best[k] for k in keys], dtype=np.float32)

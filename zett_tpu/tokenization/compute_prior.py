@@ -24,6 +24,12 @@ def main(argv=None):
     p.add_argument("--block-size", type=int, default=128)
     p.add_argument("--output", default=None)
     p.add_argument("--max-texts", type=int, default=None)
+    p.add_argument(
+        "--device", action="store_true",
+        help="count token usage on-device (batched Viterbi + psum-reduced "
+        "histogram over the mesh's data axis) instead of the host encode "
+        "pass; Unigram tokenizers only",
+    )
     args = p.parse_args(argv)
 
     from ..evaluation.perplexity import chunked_tokenize
@@ -42,8 +48,55 @@ def main(argv=None):
         texts = texts[: args.max_texts]
 
     substring_prior = compute_substring_prior(tokenizer, texts=texts)
-    data = chunked_tokenize(tokenizer, texts, args.block_size)
-    token_prior = get_prior(args.mode, data["input_ids"], tokenizer)
+    if args.device and args.mode == "reestimate":
+        # on-device counting: Viterbi + token-usage histogram on the chips,
+        # psum-reduced over the mesh data axis; only (V,) counts leave the
+        # devices (ops/device_viterbi.count_tokens_device)
+        import jax
+
+        from ..ops.device_viterbi import count_tokens_device
+        from ..parallel import make_mesh
+        from ..tokenization.bytemaps import CHARS_TO_BYTES
+        from .priors import get_pretoken_counts
+
+        pieces = []
+        scores = tokenizer.model.get_scores()
+        for i in range(len(scores)):
+            tok = tokenizer.id_to_token(i) or ""
+            try:
+                pieces.append(bytes(CHARS_TO_BYTES[c] for c in tok))
+            except KeyError:
+                pieces.append(b"")  # specials/non-byte rows never match spans
+        # pretokens come out of the pre-tokenizer in the same domain as the
+        # vocab pieces: byte-chars for byte-level tokenizers (map through
+        # CHARS_TO_BYTES), raw text otherwise (utf-8)
+        def to_bytes(p: str) -> bytes:
+            try:
+                return bytes(CHARS_TO_BYTES[c] for c in p)
+            except KeyError:
+                return p.encode("utf-8")
+
+        pretok_counts = {
+            to_bytes(p): c
+            for p, c in get_pretoken_counts(tokenizer, texts).items()
+        }
+        n_dev = len(jax.devices())
+        mesh = make_mesh(n_data=n_dev, n_model=1) if n_dev > 1 else None
+        # 48-byte rows: pretokens are words (GPT-2-split bounded); truncating
+        # at the retokenizer's default 16 visibly skews counts of pieces in
+        # long identifiers, 48 makes truncation negligible
+        counts = count_tokens_device(
+            pieces, scores, pretok_counts, mesh=mesh, max_pretoken_len=48
+        )
+        priors = counts.astype(np.float64) + 1.0  # laplace, as get_prior does
+        priors /= priors.sum()
+        token_prior = np.log(priors)
+        special = tokenizer.all_special_ids
+        if special:
+            token_prior[np.asarray(special)] = 0.0
+    else:
+        data = chunked_tokenize(tokenizer, texts, args.block_size)
+        token_prior = get_prior(args.mode, data["input_ids"], tokenizer)
 
     out = args.output or os.path.join(os.path.dirname(tok_path), "priors.npy")
     np.save(out, {"substring": substring_prior, "token": token_prior})
