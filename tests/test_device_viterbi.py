@@ -144,3 +144,26 @@ def test_count_tokens_device_matches_host(vocab, pretokens):
     mesh = make_mesh(n_data=8, n_model=1)
     got_sharded = count_tokens_device(pieces, scores, weighted, mesh=mesh)
     np.testing.assert_array_equal(got_sharded, expected)
+
+
+def test_count_tokens_device_int64_weights(vocab):
+    """Whole-corpus multiplicities overflow the on-device int32 histogram;
+    the host chunking must accumulate exactly in int64. One pretoken with
+    a >2^31-token total plus normal rows; counts must match weight x
+    tokens-per-segmentation with no wraparound."""
+    from zett_tpu.ops.device_viterbi import count_tokens_device
+
+    pieces, scores = vocab
+    dev = DeviceRetokenizer(pieces, scores, max_pretoken_len=16)
+    big_w = (1 << 31) + 12345
+    weighted = {b" the": big_w, b" and": 3, b" of": 2}
+    seg = {p: ids for p, ids in zip(weighted, dev.encode(list(weighted)))}
+    expected = np.zeros(len(pieces), dtype=np.int64)
+    for p, w in weighted.items():
+        for t in seg[p]:
+            if t >= 0:
+                expected[t] += w
+    got = count_tokens_device(pieces, scores, weighted)
+    assert got.dtype == np.int64
+    np.testing.assert_array_equal(got, expected)
+    assert got.sum() > (1 << 31)  # the overflow regime was actually hit

@@ -68,6 +68,36 @@ def test_periodic_string_tie_matches_hf():
         assert got == want, s
 
 
+def test_non_shortest_literals_parse_from_raw_bytes():
+    """Files holding non-shortest decimal literals (sentencepiece exports
+    with full-precision digits): serde parses the ORIGINAL bytes, and
+    re-canonicalizing from repr(float(bytes)) can land 1 ulp elsewhere.
+    from_str must hold exactly what HF holds for the same file bytes."""
+    raws = ["-10.35667001171853485", "-12.13250904315709811",
+            "-19.06387816609423425"]
+    vocab_src = ", ".join(f'["p{i}", {r}]' for i, r in enumerate(raws))
+    raw_json = (
+        '{"version": "1.0", "added_tokens": [], "normalizer": null, '
+        '"pre_tokenizer": null, "post_processor": null, "decoder": null, '
+        '"model": {"type": "Unigram", "unk_id": 0, '
+        f'"vocab": [["<unk>", -100.0], {vocab_src}], "byte_fallback": false}}}}'
+    )
+    ours = Tokenizer.from_str(raw_json).model.get_scores()[1:]
+    # HF re-serializes the doubles it holds with shortest repr; Python json
+    # parses those correctly-rounded -> exactly HF's in-memory values
+    hf_scores = [
+        s for _, s in json.loads(HFTokenizer.from_str(raw_json).to_str())
+        ["model"]["vocab"]
+    ][1:]
+    assert ours == hf_scores
+    # and the distinction is real: shortest-repr re-canonicalization would
+    # have produced a different double for each of these literals
+    assert all(
+        serde_f64(raw) != serde_f64(repr(float(raw))) for raw in raws
+    )
+    assert ours == [serde_f64(raw) for raw in raws]
+
+
 @pytest.mark.parametrize("seed", [1, 2])
 def test_fuzz_unigram_ties_match_hf(seed):
     """Random messy-score vocabs over a tiny alphabet generate tie-heavy

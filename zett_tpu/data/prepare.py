@@ -49,14 +49,27 @@ def prepare_local(input_path: str, lang: str, out_dir: str,
 
 def _stream_docs(stream, text_column: str, max_docs: int | None):
     docs = []
-    for i, ex in enumerate(stream):
-        if max_docs and i >= max_docs:
-            break
+    it = iter(stream)
+    seen = 0
+    consecutive_errors = 0
+    while not (max_docs and seen >= max_docs):
+        # errors surface from the iterator advance itself (network/parse
+        # failures mid-stream), not from ex.get — wrap next(), skip the
+        # record, and only give up after a run of consecutive failures
         try:
-            text = ex.get(text_column, "")
+            ex = next(it)
+        except StopIteration:
+            break
         except Exception as e:  # noqa: BLE001 - reference swallows stream errors
             print(f"Warning: stream error, skipping record: {e}")
+            consecutive_errors += 1
+            if consecutive_errors >= 100:
+                print("Warning: 100 consecutive stream errors, stopping")
+                break
             continue
+        consecutive_errors = 0
+        seen += 1
+        text = ex.get(text_column, "")
         if text and text.strip():
             docs.append(text.replace("\n", " "))
     return docs

@@ -360,6 +360,16 @@ def count_token_usage(back_k, back_id, lens, n_pieces: int, weights=None):
     return counts[:n_pieces]
 
 
+def _pad_rows(rows, lens, weights, n_data: int):
+    """Pad a row chunk so its leading dim divides the mesh's data axis."""
+    pad = (-rows.shape[0]) % max(n_data, 1)
+    if pad:
+        rows = np.pad(rows, ((0, pad), (0, 0)))
+        lens = np.pad(lens, (0, pad))
+        weights = np.pad(weights, (0, pad))
+    return rows, lens, weights
+
+
 def count_tokens_device(
     pieces: Sequence[bytes],
     scores: Sequence[float],
@@ -396,38 +406,65 @@ def count_tokens_device(
     if not keys:
         return np.zeros(n_pieces, dtype=np.int64)
     rows, lens = pack_pretokens(keys, max_pretoken_len)
-    weights = np.fromiter((agg[k] for k in keys), dtype=np.int32, count=len(keys))
+    weights = np.fromiter((agg[k] for k in keys), dtype=np.int64, count=len(keys))
 
     n_data = int(mesh.shape.get("data", 1)) if mesh is not None else 1
-    pad = (-len(keys)) % max(n_data, 1)
-    if pad:
-        rows = np.pad(rows, ((0, pad), (0, 0)))
-        lens = np.pad(lens, (0, pad))
-        weights = np.pad(weights, (0, pad))
-
     tab = jnp.asarray(table.table)
 
     def _count(rows, lens, weights, tab):
         _, bk, bi = viterbi_device(rows, lens, tab, table.salt, unk_score, K=K)
         return count_token_usage(bk, bi, lens, n_pieces, weights=weights)
 
-    if mesh is None or n_data == 1:
-        counts = _count(
-            jnp.asarray(rows), jnp.asarray(lens), jnp.asarray(weights), tab
-        )
-        return np.asarray(counts, dtype=np.int64)
+    if mesh is not None and n_data > 1:
+        shard = P("data")
+        fn = jax.jit(shard_map(
+            lambda r, l, w, t: jax.lax.psum(_count(r, l, w, t), "data"),
+            mesh=mesh,
+            in_specs=(shard, shard, shard, P()),
+            out_specs=P(),
+        ))
+    else:
+        fn = lambda r, l, w, t: _count(r, l, w, t)  # noqa: E731
 
-    shard = P("data")
-    fn = shard_map(
-        lambda r, l, w, t: jax.lax.psum(_count(r, l, w, t), "data"),
-        mesh=mesh,
-        in_specs=(shard, shard, shard, P()),
-        out_specs=P(),
-    )
-    counts = jax.jit(fn)(
-        jnp.asarray(rows), jnp.asarray(lens), jnp.asarray(weights), tab
-    )
-    return np.asarray(counts, dtype=np.int64)
+    # the on-device histogram accumulates in int32 (TPU-native; int64 would
+    # be silently downcast without x64): chunk rows so that each chunk's
+    # worst-case token count — sum(weights * tokens_per_row), tokens_per_row
+    # <= len — stays below 2^31, and accumulate chunks in int64 on host.
+    # Whole-corpus multiplicities (compute_prior --device) exceed int32.
+    LIMIT = (np.int64(1) << 31) - (np.int64(1) << 20)
+    cost = weights * np.maximum(lens.astype(np.int64), 1)
+    cum = np.cumsum(cost)
+    total = np.asarray(np.zeros(n_pieces), dtype=np.int64)
+    start = 0
+    n = len(keys)
+    while start < n:
+        # rows whose cumulative cost fits in the int32 budget; a single row
+        # with > LIMIT occurrences splits its weight across repeats
+        base = cum[start - 1] if start else np.int64(0)
+        stop = int(np.searchsorted(cum, base + LIMIT, side="right"))
+        if stop <= start:  # one gigantic row: split its weight
+            w_full = int(weights[start])
+            w_step = max(int(LIMIT // max(int(lens[start]), 1)), 1)
+            for off in range(0, w_full, w_step):
+                w_part = np.asarray([min(w_step, w_full - off)], dtype=np.int32)
+                r, l = rows[start:start + 1], lens[start:start + 1]
+                r, l, w_part = _pad_rows(r, l, w_part, n_data)
+                total += np.asarray(
+                    fn(jnp.asarray(r), jnp.asarray(l), jnp.asarray(w_part), tab),
+                    dtype=np.int64,
+                )
+            start += 1
+            continue
+        r = rows[start:stop]
+        l = lens[start:stop]
+        w = weights[start:stop].astype(np.int32)
+        r, l, w = _pad_rows(r, l, w, n_data)
+        total += np.asarray(
+            fn(jnp.asarray(r), jnp.asarray(l), jnp.asarray(w), tab),
+            dtype=np.int64,
+        )
+        start = stop
+    return total
 
 
 class DeviceRetokenizer:
@@ -441,10 +478,14 @@ class DeviceRetokenizer:
     max_pretoken_len) so short pretokens don't pay the full (L, K) span
     grid."""
 
-    BUCKET_WIDTHS = (8, 12, 16)
+    BUCKET_WIDTHS = (8, 12, 16, 24, 32, 48)
 
+    # default 64 matches the original host-path semantics: pretokens are
+    # GPT-2-split words, and truncating at 16 visibly changes segmentations
+    # (and counts) for long identifiers; length buckets keep short rows
+    # cheap regardless, so the wide default costs little
     def __init__(self, pieces: Sequence[bytes], scores: Sequence[float],
-                 max_pretoken_len: int = 16, K: int = 16,
+                 max_pretoken_len: int = 64, K: int = 16,
                  memoize: bool = True):
         self.table = build_vocab_table(pieces, scores)
         self.K = min(K, self.table.max_piece_len)

@@ -57,28 +57,44 @@ def main(argv=None):
         from ..ops.device_viterbi import count_tokens_device
         from ..parallel import make_mesh
         from ..tokenization.bytemaps import CHARS_TO_BYTES
+        from .convert import is_byte_level
         from .priors import get_pretoken_counts
 
+        # one byte domain per tokenizer, applied uniformly to vocab pieces
+        # AND pretokens: byte-level tokenizers live in byte-char space (map
+        # through CHARS_TO_BYTES), everything else (metaspace/sentencepiece
+        # vocabs full of '▁') in utf-8. Mixing domains per-string would
+        # silently mismatch e.g. 'é' (0xE9 via the byte map vs 0xC3 0xA9 in
+        # utf-8) and degrade the reestimated prior toward uniform.
+        byte_level = is_byte_level(tokenizer.to_json())
+
+        def to_bytes(s: str) -> bytes:
+            return (
+                bytes(CHARS_TO_BYTES[c] for c in s)
+                if byte_level
+                else s.encode("utf-8")
+            )
+
+        special_tokens = set(tokenizer.all_special_tokens)
         pieces = []
         scores = tokenizer.model.get_scores()
         for i in range(len(scores)):
             tok = tokenizer.id_to_token(i) or ""
+            if tok in special_tokens or not tok:
+                pieces.append(b"")  # specials never match inside spans
+                continue
             try:
-                pieces.append(bytes(CHARS_TO_BYTES[c] for c in tok))
+                pieces.append(to_bytes(tok))
             except KeyError:
-                pieces.append(b"")  # specials/non-byte rows never match spans
-        # pretokens come out of the pre-tokenizer in the same domain as the
-        # vocab pieces: byte-chars for byte-level tokenizers (map through
-        # CHARS_TO_BYTES), raw text otherwise (utf-8)
-        def to_bytes(p: str) -> bytes:
-            try:
-                return bytes(CHARS_TO_BYTES[c] for c in p)
-            except KeyError:
-                return p.encode("utf-8")
-
+                raise SystemExit(
+                    f"vocab piece {tok!r} (id {i}) is not representable in "
+                    "the tokenizer's byte domain; rerun without --device to "
+                    "use the host path"
+                )
         pretok_counts = {
             to_bytes(p): c
             for p, c in get_pretoken_counts(tokenizer, texts).items()
+            if not byte_level or all(c in CHARS_TO_BYTES for c in p)
         }
         n_dev = len(jax.devices())
         mesh = make_mesh(n_data=n_dev, n_model=1) if n_dev > 1 else None
@@ -91,7 +107,9 @@ def main(argv=None):
         priors = counts.astype(np.float64) + 1.0  # laplace, as get_prior does
         priors /= priors.sum()
         token_prior = np.log(priors)
-        special = tokenizer.all_special_ids
+        # the device array is model-vocab-sized; added specials can sit at
+        # ids beyond len(scores) in tokenizers with out-of-vocab added rows
+        special = [i for i in tokenizer.all_special_ids if i < len(token_prior)]
         if special:
             token_prior[np.asarray(special)] = 0.0
     else:

@@ -401,7 +401,13 @@ class Tokenizer:
 
     @staticmethod
     def from_str(s: str) -> "Tokenizer":
-        return Tokenizer.from_json(json.loads(s))
+        # parse floats from their raw decimal bytes with serde_json
+        # semantics (see jsonfloat.serde_parse_float): for files holding
+        # non-shortest literals this is the only way to land on the exact
+        # doubles HF holds after its own serde_json load
+        from .jsonfloat import serde_parse_float
+
+        return Tokenizer.from_json(json.loads(s, parse_float=serde_parse_float))
 
     @staticmethod
     def from_file(path: str) -> "Tokenizer":

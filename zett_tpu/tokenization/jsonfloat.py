@@ -36,6 +36,24 @@ _POW10 = [float(f"1e{k}") for k in range(309)]
 _NUM = re.compile(r"^(\d+)(?:\.(\d+))?(?:[eE]([+-]?\d+))?$")
 
 
+class SerdeFloat(float):
+    """A float already parsed from its raw JSON decimal bytes through
+    `serde_f64` (via the `parse_float` hook in `Tokenizer.from_str`).
+    Marks the value as holding serde_json semantics so `Model.from_json`
+    does not re-canonicalize it from its shortest repr — which matters
+    when the file holds non-shortest literals (e.g. sentencepiece exports
+    with full-precision digits): serde parses the ORIGINAL bytes, and
+    repr(float(bytes)) can land 1 ulp elsewhere."""
+
+    __slots__ = ()
+
+
+def serde_parse_float(s: str) -> float:
+    """json.loads `parse_float` hook: parse the raw decimal string the way
+    serde_json does and mark the result as already-canonical."""
+    return SerdeFloat(serde_f64(s))
+
+
 def serde_f64(s) -> float:
     """Parse a JSON number the way serde_json's default (non-roundtrip)
     f64 path does. Accepts a decimal string or a float (uses its shortest
@@ -64,8 +82,12 @@ def serde_f64(s) -> float:
 
 def serde_canon(scores: Sequence[float]) -> List[float]:
     """Canonicalize a score list to the values HF would hold after reading
-    our serialization. C++ fast path when available (the sampled-tokenizer
+    our serialization. Values that are `SerdeFloat` (parsed from raw file
+    bytes by `serde_parse_float`) already hold the serde value and pass
+    through unchanged. C++ fast path when available (the sampled-tokenizer
     construction runs once per training batch over ~33k scores)."""
+    if scores and all(isinstance(s, SerdeFloat) for s in scores):
+        return [float(s) for s in scores]
     try:
         from ..csrc import host_lib as _hl
     except Exception:  # pragma: no cover - C++ lib optional
