@@ -265,16 +265,12 @@ def bench_device_retokenize(texts, pieces_chars, scores):
     #
     # OPT-IN (BENCH_PALLAS=1): remote-tunnel Mosaic compiles hang
     # unpredictably at some batch shapes, and the driver-run bench must
-    # never hang. Measured on v5e at B=16384, L=16, K=16 (tile_b=512):
-    # pallas DP 25.2 ms vs scan DP 24.6 ms incl ~15 ms dispatch — parity;
-    # the spans phase, not the DP, is the device bottleneck.
+    # never hang. The bench JSON carries only numbers THIS run produced;
+    # previously-measured v5e values live in PARITY.md prose.
     import os as _os
 
     if _os.environ.get("BENCH_PALLAS") != "1":
-        return _finish(
-            {"skipped": "set BENCH_PALLAS=1", "measured_v5e":
-             {"rows": 16384, "pallas_dp_ms": 25.2, "scan_dp_ms": 24.6}}
-        )
+        return _finish({"skipped": "set BENCH_PALLAS=1"})
     try:
         from functools import partial as _partial
 
