@@ -174,3 +174,44 @@ def test_run_training_mix_languages(model_dir, corpus, tmp_path):
     assert any("all_loss" in h for h in step_logs)
     # hn got n_langs = 3 ("all" + en + de)
     assert trainer.hn_config.n_langs == 3
+
+
+def test_run_training_extra_valid_minted_artifacts(model_dir, corpus, tmp_path):
+    """The shipped flagship config's extra_valid_tokenizers point at minted
+    artifacts/tokenizers/ dirs (reference artifacts are git-lfs pointers;
+    ours come from experiments/mint_artifacts.py). This runs the actual
+    extra-valid eval path — fixed-tokenizer collators + cached-embedding
+    eval loop — against two real minted artifacts, exactly as
+    configs/zeroshot/gpt2_en.json lists them."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(repo, "configs", "zeroshot", "gpt2_en.json")) as f:
+        shipped = json.load(f)
+    listed = [os.path.join(repo, p) for p in shipped["extra_valid_tokenizers"]]
+    # every artifact the shipped config references must exist with priors
+    for p in listed:
+        assert os.path.exists(os.path.join(p, "tokenizer.json")), p
+        assert os.path.exists(os.path.join(p, "priors.npy")), p
+
+    texts = [t for t in corpus if t.strip()][:96]
+    cfg = _base_config(model_dir, str(tmp_path / "ev"), corpus)
+    cfg.update({
+        "steps": 1,
+        "eval_steps": 1,
+        "n_valid_subsample": 8,
+        "valid_texts_by_lang": {"en": texts[:16]},
+        # two artifacts keep the test fast; the loop is identical for five.
+        # the driver clears n_token_subsample for the extra-valid collators
+        # itself (reference train.py:526-529), so the full fixed vocabs run
+        # through the cached-embedding path while the sampled main-valid
+        # collator keeps its subsample config.
+        "extra_valid_tokenizers": listed[:2],
+    })
+    trainer, history = run_training(cfg, "ev")
+    eval_logs = [h for h in history if any(k.startswith("eval_") for k in h)]
+    assert eval_logs, history
+    names = [os.path.basename(p) for p in listed[:2]]
+    for name in names:
+        key = f"eval_{name}/eval_loss"
+        assert any(key in h for h in eval_logs), (key, sorted(eval_logs[0]))
+        val = next(h[key] for h in eval_logs if key in h)
+        assert np.isfinite(val)

@@ -85,15 +85,65 @@ def main(argv=None):
     out_dir = os.path.join(args.output, args.name)
     os.makedirs(out_dir, exist_ok=True)
     tok.save(os.path.join(out_dir, "tokenizer.json"))
+    _write_hf_sidecars(out_dir, tok)
 
     if not args.no_priors:
         from ..evaluation.perplexity import chunked_tokenize
+        from .priors import compute_substring_prior
 
+        # same artifact format as the reference's compute_prior CLI
+        # (zett/compute_prior.py:158-166): {"substring": ..., "token": ...}
         data = chunked_tokenize(tok, texts, args.prior_block_size)
-        prior = get_prior("reestimate", data["input_ids"], tok)
-        np.save(os.path.join(out_dir, "priors.npy"), prior)
+        token_prior = get_prior("reestimate", data["input_ids"], tok)
+        substring_prior = compute_substring_prior(tok, texts=texts)
+        np.save(
+            os.path.join(out_dir, "priors.npy"),
+            {"substring": substring_prior, "token": token_prior},
+        )
 
     print(f"{args.mode}: {len(tok)}-token tokenizer at {out_dir}")
+
+
+def _write_hf_sidecars(out_dir: str, tok) -> None:
+    """tokenizer_config.json + special_tokens_map.json so the artifact dir
+    loads with transformers' PreTrainedTokenizerFast, mirroring the
+    reference's artifact layout (artifacts/tokenizers/*/)."""
+    import json
+
+    specials = tok.all_special_tokens
+    named = {}
+    for s in specials:
+        low = s.lower()
+        if "unk" in low:
+            named.setdefault("unk_token", s)
+        elif "pad" in low:
+            named.setdefault("pad_token", s)
+        elif "mask" in low:
+            named.setdefault("mask_token", s)
+        elif s in ("<|endoftext|>",):
+            named.setdefault("eos_token", s)
+            named.setdefault("bos_token", s)
+        elif low in ("</s>", "[sep]"):
+            named.setdefault("eos_token", s)
+            if low == "[sep]":
+                named.setdefault("sep_token", s)
+        elif low in ("<s>", "[cls]"):
+            named.setdefault("bos_token", s)
+            if low == "[cls]":
+                named.setdefault("cls_token", s)
+    with open(os.path.join(out_dir, "special_tokens_map.json"), "w") as f:
+        json.dump(named, f, indent=2)
+    with open(os.path.join(out_dir, "tokenizer_config.json"), "w") as f:
+        json.dump(
+            {
+                "tokenizer_class": "PreTrainedTokenizerFast",
+                "clean_up_tokenization_spaces": False,
+                "model_max_length": 1000000000000000019884624838656,
+                **named,
+            },
+            f,
+            indent=2,
+        )
 
 
 if __name__ == "__main__":

@@ -309,7 +309,12 @@ def run_training(config: dict, run_name: str = "run"):
                 os.path.join(tok_path, "tokenizer.json")
                 if os.path.isdir(tok_path) else tok_path
             )
-            fixed_cfg = dataclasses.replace(data_cfg, do_tokenizer_sampling=False)
+            # reference train.py:526-529: extra-valid collators never
+            # subsample the fixed vocab and never span-sample the text
+            fixed_cfg = dataclasses.replace(
+                data_cfg, do_tokenizer_sampling=False,
+                n_token_subsample=None, sample_text_span=False,
+            )
             extra_collators.append(
                 (os.path.basename(tok_path.rstrip("/")), Collator(
                     reference=reference, hn_tokenizer=hn_tokenizer,

@@ -211,8 +211,27 @@ class Trainer:
         bias_path = self.bias_path
         model_type = self.model_type
         hypernet = self.hypernet
-        spliced_backbone = self.spliced_backbone
         hn_pad = self.hn_pad_token_id
+        backbone_config = self.backbone_config
+        dtype = self.dtype
+        spliced_cache: Dict[int, Any] = {self.vocab_batch_size: self.spliced_backbone}
+
+        def spliced_backbone_for(vocab_size: int):
+            # the spliced module's vocab axis must match the BATCH's vocab
+            # dimension, which differs between the sampled-tokenizer train
+            # path and fixed-tokenizer extra-valid/nshot batches (the
+            # reference mutates model.config.vocab_size per batch,
+            # train.py:1346,1473). vocab_size is a static trace-time shape,
+            # so each distinct size builds (and caches) its own module.
+            mod = spliced_cache.get(vocab_size)
+            if mod is None:
+                mod, _ = build_model(
+                    model_type,
+                    config=dataclasses.replace(backbone_config, vocab_size=vocab_size),
+                    dtype=dtype,
+                )
+                spliced_cache[vocab_size] = mod
+            return mod
 
         def split_source(state):
             if state.source_embeddings is None:
@@ -248,7 +267,7 @@ class Trainer:
                 emb_out if not out_tied else None,
                 None,  # bias zeroed; added to logits explicitly below
             )
-            logits = spliced_backbone.apply(
+            logits = spliced_backbone_for(int(emb_in.shape[0])).apply(
                 {"params": spliced}, batch["input_ids"], batch["attention_mask"]
             )
             vocab_mask = jnp.where(batch["mask"], 0.0, NEGATIVE_INF_FILL_VALUE)
