@@ -80,9 +80,25 @@ class TestNativeUnigram:
         assert ids.shape == (10, 16)
         assert (mask.sum(1) <= 16).all()
 
-    def test_fast_encoder_or_none_rejects_noncanonical(self, gpt2_like_json):
-        tok = Tokenizer.from_json(gpt2_like_json)
+    def test_fast_encoder_or_none_rejects_noncanonical(self, xlmr_like_json):
+        # metaspace Unigram (no byte-level pre-tokenizer) has no fast path
+        tok = Tokenizer.from_json(xlmr_like_json)
         assert fast_encoder_or_none(tok) is None
+
+    def test_fast_encoder_native_bpe(self, gpt2_like_json, corpus):
+        """Raw byte-level BPE tokenizers (plain ByteLevel pre-tokenizer, no
+        Prepend) hit the native BPE merge path — the HF-Rust-BPE counterpart
+        the reference's fixed-tokenizer workloads rely on
+        (zett/collator.py:166-175)."""
+        tok = Tokenizer.from_json(gpt2_like_json)
+        fast = fast_encoder_or_none(tok)
+        assert fast is not None
+        texts = [t for t in corpus if t.strip()][:60]
+        ids, mask = fast.encode_batch(texts, add_special_tokens=False)
+        for i, t in enumerate(texts):
+            ref = tok.encode(t, add_special_tokens=False).ids
+            got = list(ids[i][: mask[i].sum()])
+            assert got == ref, repr(t[:50])
 
     def test_memo_cache_growth(self, sampled_tokenizer):
         """>>16k distinct pretokens forces the native memo cache through

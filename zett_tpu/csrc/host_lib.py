@@ -60,6 +60,24 @@ _lib.uni_encode_texts.argtypes = [
     ctypes.c_void_p, ctypes.c_int32,
     ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_int32,
 ]
+_lib.bpe_new.restype = ctypes.c_void_p
+_lib.bpe_new.argtypes = [
+    ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+    ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+    ctypes.c_int32, ctypes.c_int32,
+]
+_lib.bpe_free.argtypes = [ctypes.c_void_p]
+_lib.bpe_encode_texts.restype = ctypes.c_int64
+_lib.bpe_encode_texts.argtypes = [
+    ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+    ctypes.c_void_p, ctypes.c_int32,
+    ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_int32,
+]
+_lib.bpe_encode_batch.restype = ctypes.c_int64
+_lib.bpe_encode_batch.argtypes = [
+    ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+    ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+]
 _lib.split_pretokens.restype = ctypes.c_int64
 _lib.split_pretokens.argtypes = [
     ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_int32,
@@ -290,6 +308,75 @@ class NativeUnigram:
             self._handle, _ptr(data), _ptr(offsets), len(pretokens), _ptr(w), _ptr(counts)
         )
         return counts, float(ll)
+
+
+class NativeBPE:
+    """Byte-level BPE merge encode (HF-Rust-BPE counterpart; semantics match
+    tokenization/models.py BPE._merge_word, differential-tested vs HF)."""
+
+    def __init__(
+        self,
+        pieces: Sequence[bytes],
+        piece_ids: Sequence[int],
+        merges: Sequence[Tuple[int, int, int]],
+        unk_id: int = -1,
+        ignore_merges: bool = False,
+    ):
+        """merges: (left_id, right_id, merged_id) in rank order."""
+        data, offsets = _concat_bytes(pieces)
+        ids_arr = np.asarray(piece_ids, dtype=np.int32)
+        m = np.asarray(merges, dtype=np.int32).reshape(-1, 3)
+        left = np.ascontiguousarray(m[:, 0])
+        right = np.ascontiguousarray(m[:, 1])
+        out = np.ascontiguousarray(m[:, 2])
+        self._keep = (data, ids_arr, left, right, out)
+        self._handle = _lib.bpe_new(
+            _ptr(data), _ptr(offsets), _ptr(ids_arr), len(pieces),
+            _ptr(left), _ptr(right), _ptr(out), len(m),
+            unk_id, 1 if ignore_merges else 0,
+        )
+
+    def __del__(self):
+        if getattr(self, "_handle", None) and _lib is not None:
+            _lib.bpe_free(self._handle)
+            self._handle = None
+
+    def encode_pretokens(self, pretokens: Sequence[bytes]) -> List[np.ndarray]:
+        data, offsets = _concat_bytes(pretokens)
+        cap = max(int(offsets[-1]), 1)
+        out_ids = np.empty(cap, dtype=np.int32)
+        out_lens = np.empty(len(pretokens), dtype=np.int32)
+        total = _lib.bpe_encode_batch(
+            self._handle, _ptr(data), _ptr(offsets), len(pretokens),
+            _ptr(out_ids), cap, _ptr(out_lens),
+        )
+        assert total >= 0, "output capacity exceeded"
+        splits = np.cumsum(out_lens[:-1])
+        return np.split(out_ids[:total], splits)
+
+    def encode_texts(
+        self,
+        texts: Sequence[bytes],
+        use_marks: bool = True,
+        n_threads: int = 0,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Fused split-regex pretokenize + BPE merge over whole utf-8 texts.
+        Returns (flat_ids, tokens_per_text)."""
+        ctab = unicode_class_table()
+        data, offsets = _concat_bytes(texts)
+        cap = max(int(offsets[-1]), 1)
+        out_ids = np.empty(cap, dtype=np.int32)
+        out_tokens = np.empty(len(texts), dtype=np.int64)
+        if n_threads == 0:
+            n_threads = min(os.cpu_count() or 1, 8)
+        total = _lib.bpe_encode_texts(
+            self._handle, _ptr(data), _ptr(offsets), len(texts),
+            _ptr(ctab),
+            LETTERS_WITH_MARKS if use_marks else LETTERS_NO_MARKS,
+            _ptr(out_ids), cap, _ptr(out_tokens), n_threads,
+        )
+        assert total >= 0, "output capacity exceeded"
+        return out_ids[:total], out_tokens
 
 
 def count_substrings_native(

@@ -685,6 +685,184 @@ int64_t uni_encode_texts(void* handle, const uint8_t* text,
 }
 
 // --------------------------------------------------------------------------
+// BPE merge encode (reference: HF tokenizers Rust BPE, the encode path the
+// reference's fixed-tokenizer workloads hit through zett/collator.py:166-175
+// for BPE tokenizer.json files). Semantics match the Python model
+// (tokenization/models.py BPE._merge_word): repeatedly merge the globally
+// lowest-ranked adjacent pair, all occurrences left-to-right — which is the
+// GPT-2 algorithm and is differential-tested against HF at 50k scale.
+// Symbols are vocab ids: merge (a_id, b_id) -> (rank, merged_id).
+// --------------------------------------------------------------------------
+
+struct BPEModel {
+  // (a<<32 | b) -> packed (rank, merged_id)
+  std::unordered_map<uint64_t, std::pair<int32_t, int32_t>> merge_map;
+  std::unordered_map<std::string, int32_t> vocab_map;  // for ignore_merges
+  int32_t byte_to_id[256];
+  int32_t unk_id;      // -1 = drop unknown bytes silently
+  bool ignore_merges;  // whole-pretoken vocab hit short-circuits (llama-3)
+};
+
+void* bpe_new(const uint8_t* piece_data, const int64_t* piece_offsets,
+              const int32_t* piece_ids, int64_t n_pieces,
+              const int32_t* merge_left, const int32_t* merge_right,
+              const int32_t* merge_out, int64_t n_merges, int32_t unk_id,
+              int32_t ignore_merges) {
+  auto* m = new BPEModel();
+  for (int i = 0; i < 256; ++i) m->byte_to_id[i] = -1;
+  m->vocab_map.reserve((size_t)n_pieces * 2);
+  for (int64_t i = 0; i < n_pieces; ++i) {
+    const char* begin = (const char*)piece_data + piece_offsets[i];
+    size_t len = (size_t)(piece_offsets[i + 1] - piece_offsets[i]);
+    m->vocab_map.emplace(std::string(begin, len), piece_ids[i]);
+    if (len == 1) m->byte_to_id[(uint8_t)begin[0]] = piece_ids[i];
+  }
+  m->merge_map.reserve((size_t)n_merges * 2);
+  for (int64_t r = 0; r < n_merges; ++r) {
+    uint64_t key = ((uint64_t)(uint32_t)merge_left[r] << 32) |
+                   (uint64_t)(uint32_t)merge_right[r];
+    // first (lowest) rank wins on duplicates, like the Python dict build
+    m->merge_map.emplace(key, std::make_pair((int32_t)r, merge_out[r]));
+  }
+  m->unk_id = unk_id;
+  m->ignore_merges = ignore_merges != 0;
+  return m;
+}
+
+void bpe_free(void* handle) { delete (BPEModel*)handle; }
+
+// Merge one pretoken; appends ids to out. Returns count appended.
+static size_t bpe_merge_word(BPEModel* m, const uint8_t* s, size_t n,
+                             std::vector<int32_t>& out,
+                             std::vector<int32_t>& word) {
+  size_t start_size = out.size();
+  if (m->ignore_merges) {
+    auto it = m->vocab_map.find(std::string((const char*)s, n));
+    if (it != m->vocab_map.end()) {
+      out.push_back(it->second);
+      return 1;
+    }
+  }
+  word.clear();
+  for (size_t i = 0; i < n; ++i) {
+    int32_t id = m->byte_to_id[s[i]];
+    if (id >= 0) {
+      word.push_back(id);
+    } else if (m->unk_id >= 0) {
+      word.push_back(m->unk_id);
+    }
+    // else: drop silently (byte-complete vocabs never hit this)
+  }
+  while (word.size() > 1) {
+    int32_t best_rank = INT32_MAX;
+    uint64_t best_key = 0;
+    int32_t best_out = -1;
+    for (size_t i = 0; i + 1 < word.size(); ++i) {
+      uint64_t key = ((uint64_t)(uint32_t)word[i] << 32) |
+                     (uint64_t)(uint32_t)word[i + 1];
+      auto it = m->merge_map.find(key);
+      if (it != m->merge_map.end() && it->second.first < best_rank) {
+        best_rank = it->second.first;
+        best_key = key;
+        best_out = it->second.second;
+      }
+    }
+    if (best_out < 0) break;
+    int32_t a = (int32_t)(best_key >> 32), b = (int32_t)(uint32_t)best_key;
+    size_t w = 0;
+    for (size_t i = 0; i < word.size();) {
+      if (i + 1 < word.size() && word[i] == a && word[i + 1] == b) {
+        word[w++] = best_out;
+        i += 2;
+      } else {
+        word[w++] = word[i++];
+      }
+    }
+    word.resize(w);
+  }
+  out.insert(out.end(), word.begin(), word.end());
+  return out.size() - start_size;
+}
+
+// Fused split + BPE merge encode over whole texts — the BPE counterpart of
+// uni_encode_texts (same threading + thread-local memo cache; BPE pretokens
+// repeat just as heavily). Returns total ids, or -1 on insufficient capacity.
+int64_t bpe_encode_texts(void* handle, const uint8_t* text,
+                         const int64_t* offsets, int64_t n_texts,
+                         const uint8_t* ctab, int32_t letters_mask,
+                         int32_t* out_ids, int64_t out_cap,
+                         int64_t* out_text_tokens, int32_t n_threads) {
+  auto* m = (BPEModel*)handle;
+  if (n_threads <= 1 || n_texts < 64) n_threads = 1;
+  std::vector<std::vector<int32_t>> results((size_t)n_threads);
+  std::vector<std::thread> workers;
+  int64_t chunk = (n_texts + n_threads - 1) / n_threads;
+  auto work = [&](int t) {
+    MemoCache cache;
+    std::vector<int32_t>& out = results[(size_t)t];
+    std::vector<int32_t> buf, word;
+    int64_t lo = t * chunk, hi = std::min(n_texts, (t + 1) * chunk);
+    for (int64_t ti = lo; ti < hi; ++ti) {
+      const uint8_t* s = text + offsets[ti];
+      size_t n = (size_t)(offsets[ti + 1] - offsets[ti]);
+      int64_t n_tok = 0;
+      size_t i = 0;
+      while (i < n) {
+        size_t j = pretoken_end(s, n, i, ctab, (uint8_t)letters_mask);
+        uint32_t h = MemoCache::fnv1a(s + i, j - i);
+        const MemoCache::Slot* sl = cache.find(h, s + i, j - i);
+        MemoCache::Slot tmp;
+        if (!sl) {
+          buf.clear();
+          bpe_merge_word(m, s + i, j - i, buf, word);
+          tmp = cache.insert(h, s + i, j - i, buf);
+          sl = &tmp;
+        }
+        out.insert(out.end(), cache.ids.data() + sl->ids_off,
+                   cache.ids.data() + sl->ids_off + sl->ids_len);
+        n_tok += (int64_t)sl->ids_len;
+        i = j;
+      }
+      out_text_tokens[ti] = n_tok;
+    }
+  };
+  if (n_threads == 1) {
+    work(0);
+  } else {
+    for (int t = 0; t < n_threads; ++t) workers.emplace_back(work, t);
+    for (auto& w : workers) w.join();
+  }
+  int64_t total = 0;
+  for (auto& r : results) total += (int64_t)r.size();
+  if (total > out_cap) return -1;
+  int64_t pos = 0;
+  for (auto& r : results) {
+    std::memcpy(out_ids + pos, r.data(), r.size() * sizeof(int32_t));
+    pos += (int64_t)r.size();
+  }
+  return total;
+}
+
+// Batch variant over pre-split pretokens (differential-test hook, mirrors
+// uni_encode_batch).
+int64_t bpe_encode_batch(void* handle, const uint8_t* text,
+                         const int64_t* offsets, int64_t n_pretokens,
+                         int32_t* out_ids, int64_t out_cap,
+                         int32_t* out_lens) {
+  auto* m = (BPEModel*)handle;
+  std::vector<int32_t> out, word;
+  out.reserve((size_t)std::min<int64_t>(out_cap, 1 << 20));
+  for (int64_t i = 0; i < n_pretokens; ++i) {
+    const uint8_t* s = text + offsets[i];
+    size_t n = (size_t)(offsets[i + 1] - offsets[i]);
+    out_lens[i] = (int32_t)bpe_merge_word(m, s, n, out, word);
+  }
+  if ((int64_t)out.size() > out_cap) return -1;
+  std::memcpy(out_ids, out.data(), out.size() * sizeof(int32_t));
+  return (int64_t)out.size();
+}
+
+// --------------------------------------------------------------------------
 // Substring enumeration for tokenizer sampling
 // --------------------------------------------------------------------------
 
