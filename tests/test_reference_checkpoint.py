@@ -115,6 +115,21 @@ CASES = {
         "separate_out_embeddings": False,
         "hn_predict_bias": False,
     },
+    # the reference's `with_target_priors_with_inter_token_attn` ablation
+    # (configs/zeroshot/v7:gpt2:with_target_priors_with_inter_token_attn):
+    # exchanges are full residual attention blocks -> loads through the
+    # inter_token_residual_ln compat mode
+    "priors_inter_token_attn": {
+        "hn_embed_target_priors": True,
+        "hn_add_inter_token_attention": True,
+        "hn_n_inter_token_blocks": 4,
+    },
+    "inter_token_attn_bias_by_priors": {
+        "hn_add_inter_token_attention": True,
+        "hn_inter_token_attention_bias_by_priors": True,
+        "hn_inter_token_attention_bias_scaler": 0.5,
+        "hn_n_inter_token_blocks": 4,
+    },
 }
 
 
@@ -215,11 +230,15 @@ def test_load_reference_hypernet_directory(ref_hypernet_cls, tmp_path):
         )
 
 
-def test_inter_token_checkpoints_raise(ref_hypernet_cls):
-    from zett_tpu.models.hypernet import HypernetConfig
-
-    fake = {"model": {"encoder": {"layer": {"0": {
-        "inter_token_attention_down": {"self": {"query": {"kernel": np.zeros((2, 2))}}}
-    }}}}}
-    with pytest.raises(NotImplementedError):
-        convert_reference_hypernet(fake, HypernetConfig())
+def test_inter_token_config_maps_to_compat_mode():
+    """Loading an inter-token-attention checkpoint config turns on the
+    residual+LN compat mode so the exchange matches the reference's full
+    attention block (hyper_roberta.py:344-427)."""
+    cfg = reference_config_to_ours({
+        "hn_hidden_size": 32, "hn_intermediate_size": 64, "hn_n_layers": 2,
+        "hn_num_attention_heads": 2, "n_embd": 16,
+        "hn_add_inter_token_attention": True, "hn_n_inter_token_blocks": 4,
+    })
+    assert cfg.add_inter_token_attention
+    assert cfg.inter_token_residual_ln
+    assert cfg.n_inter_token_blocks == 4

@@ -52,6 +52,12 @@ class HypernetConfig:
     inter_token_attention_bias_by_priors: bool = False
     inter_token_attention_bias_scaler: float = 1.0
     n_inter_token_blocks: int = 16
+    # compat: the reference wraps each inter-token exchange in a FULL
+    # residual attention block (out-projection + residual + LayerNorm,
+    # hyper_roberta.py:344-427). Our redesign uses bare cross-attention;
+    # reference_io turns this on at load time so `with_inter_token_attn`
+    # checkpoints map numerically.
+    inter_token_residual_ln: bool = False
     language_adapter_bottleneck_dim: int = 0
     embed_lang_id: bool = False
     n_langs: int = 1
@@ -128,18 +134,27 @@ class ProjectorBlock(nn.Module):
 
 
 def _attention(q, k, v, bias, num_heads, dtype, dropout_rate, deterministic, rng=None):
-    """Multi-head attention core; q/k/v are (B, L, H) projections."""
+    """Multi-head attention core; q/k/v are (B, L, H) projections.
+
+    Scores stay in the compute dtype (the MXU still accumulates the QK
+    contraction in f32); only the softmax itself upcasts. Profiling the
+    32k-vocab transfer forward on v5e showed f32 score tensors at the tiny
+    surface-form widths ([B, 12, L, L], L<=16) cost ~30 ms of badly-tiled
+    elementwise fusions out of a 120 ms device budget — and bf16 scores are
+    no less precise than the reference's HF-Flax path, which runs the whole
+    softmax in bf16 under a bf16 policy (flax dot_product_attention_weights)
+    while we keep the softmax in f32."""
     B, Lq, H = q.shape
     Lk = k.shape[1]
     head_dim = H // num_heads
     q = q.reshape(B, Lq, num_heads, head_dim)
     k = k.reshape(B, Lk, num_heads, head_dim)
     v = v.reshape(B, Lk, num_heads, head_dim)
-    scores = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
+    scores = jnp.einsum("bqhd,bkhd->bhqk", q, k)
     scores = scores / jnp.sqrt(head_dim).astype(scores.dtype)
     if bias is not None:
-        scores = scores + bias
-    weights = jax.nn.softmax(scores, axis=-1).astype(dtype)
+        scores = scores + bias.astype(scores.dtype)
+    weights = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(dtype)
     if not deterministic and dropout_rate > 0.0 and rng is not None:
         keep = jax.random.bernoulli(rng, 1.0 - dropout_rate, weights.shape)
         weights = weights * keep / (1.0 - dropout_rate)
@@ -176,9 +191,12 @@ class Attention(nn.Module):
 
         bias = None
         if attention_mask is not None:
-            # (B, Lk) boolean -> additive (B, 1, 1, Lk)
+            # (B, Lk) boolean -> additive (B, 1, 1, Lk), in the compute dtype
+            # (f32 min cast to bf16 would overflow to -inf)
             bias = jnp.where(
-                attention_mask[:, None, None, :], 0.0, jnp.finfo(jnp.float32).min
+                attention_mask[:, None, None, :],
+                jnp.asarray(0.0, self.dtype),
+                jnp.asarray(jnp.finfo(self.dtype).min, self.dtype),
             )
         elif attention_bias is not None:
             bias = attention_bias[:, None, None, :]
@@ -241,19 +259,32 @@ class EncoderLayer(nn.Module):
                 bias = target_priors[None] * cfg.inter_token_attention_bias_scaler
             else:
                 bias = None
+            blocks_in = inter_token_blocks[None]
             blocks = Attention(cfg, dtype=self.dtype, name="inter_token_down")(
-                inter_token_blocks[None],
+                blocks_in,
                 key_value_states=attn_out[None, :, 0],
                 attention_bias=bias,
                 deterministic=deterministic,
-            )[0]
+            )
+            if cfg.inter_token_residual_ln:
+                # reference semantics: residual + LN around each exchange
+                blocks = nn.LayerNorm(
+                    epsilon=cfg.layer_norm_eps, dtype=self.dtype,
+                    name="inter_token_down_ln",
+                )(blocks + blocks_in)
             V, L, H = attn_out.shape
+            flat = attn_out.reshape(1, V * L, H)
             updated = Attention(cfg, dtype=self.dtype, name="inter_token_up")(
-                attn_out.reshape(1, V * L, H),
-                key_value_states=blocks[None],
+                flat,
+                key_value_states=blocks,
                 deterministic=deterministic,
-            ).reshape(V, L, H)
-            attn_out = updated
+            )
+            if cfg.inter_token_residual_ln:
+                updated = nn.LayerNorm(
+                    epsilon=cfg.layer_norm_eps, dtype=self.dtype,
+                    name="inter_token_up_ln",
+                )(updated + flat)
+            attn_out = updated.reshape(V, L, H)
 
         h = nn.Dense(cfg.intermediate_size, dtype=self.dtype, name="intermediate")(attn_out)
         h = _act(cfg)(h)

@@ -22,8 +22,9 @@ three structural differences:
 
 Inter-token attention checkpoints (the `with_inter_token_attn` ablation) use
 a full residual attention block per exchange (hyper_roberta.py:344-427) where
-our redesign uses bare cross-attention — those cannot be mapped numerically
-and raise.
+our redesign uses bare cross-attention — loading sets
+`inter_token_residual_ln=True`, a compat mode that restores the residual +
+LayerNorm around both exchanges so those checkpoints map numerically too.
 """
 
 from __future__ import annotations
@@ -60,6 +61,20 @@ _LAYER_RENAMES = {
     ("output", "lang_adapter_down_bias"): ("lang_adapter_down_bias",),
     ("output", "lang_adapter_up_weights"): ("lang_adapter_up_weights",),
     ("output", "lang_adapter_up_bias"): ("lang_adapter_up_bias",),
+    # inter-token attention: the reference wraps each exchange in a full
+    # residual attention block (FlaxHyperRobertaAttention = self +
+    # FlaxRobertaSelfOutput); ours maps it onto Attention + the
+    # inter_token_{down,up}_ln compat LayerNorms (inter_token_residual_ln)
+    ("inter_token_attention_down", "self", "query"): ("inter_token_down", "query"),
+    ("inter_token_attention_down", "self", "key"): ("inter_token_down", "key"),
+    ("inter_token_attention_down", "self", "value"): ("inter_token_down", "value"),
+    ("inter_token_attention_down", "output", "dense"): ("inter_token_down", "out"),
+    ("inter_token_attention_down", "output", "LayerNorm"): ("inter_token_down_ln",),
+    ("inter_token_attention_up", "self", "query"): ("inter_token_up", "query"),
+    ("inter_token_attention_up", "self", "key"): ("inter_token_up", "key"),
+    ("inter_token_attention_up", "self", "value"): ("inter_token_up", "value"),
+    ("inter_token_attention_up", "output", "dense"): ("inter_token_up", "out"),
+    ("inter_token_attention_up", "output", "LayerNorm"): ("inter_token_up_ln",),
 }
 
 
@@ -93,13 +108,6 @@ def convert_reference_hypernet(
         ref_params = ref_params["params"]
 
     flat = {k: np.asarray(v) for k, v in _flatten(ref_params).items()}
-
-    if any("inter_token_attention_down" in p for p in flat):
-        raise NotImplementedError(
-            "inter-token-attention reference checkpoints use a residual "
-            "attention block per exchange; no numerical mapping onto the "
-            "fresh module tree exists"
-        )
 
     out: Dict[Tuple[str, ...], np.ndarray] = {}
     token_type: Optional[np.ndarray] = None
@@ -169,6 +177,10 @@ _CONFIG_KEYMAP = {
     "separate_out_embeddings": "separate_out_embeddings",
     "hn_surface_maxlen": "hn_surface_maxlen",
     "hn_embed_target_priors": "embed_target_priors",
+    "hn_add_inter_token_attention": "add_inter_token_attention",
+    "hn_inter_token_attention_bias_by_priors": "inter_token_attention_bias_by_priors",
+    "hn_inter_token_attention_bias_scaler": "inter_token_attention_bias_scaler",
+    "hn_n_inter_token_blocks": "n_inter_token_blocks",
     "hn_embed_lang_id": "embed_lang_id",
     "n_langs": "n_langs",
     "hn_embed_using_source_embeddings": "embed_using_source_embeddings",
@@ -204,6 +216,10 @@ def reference_config_to_ours(ref: dict) -> HypernetConfig:
     # HF config.json copies of the args may use the config-native names
     for alias, dst in (
         ("embed_target_priors", "embed_target_priors"),
+        ("add_inter_token_attention", "add_inter_token_attention"),
+        ("inter_token_attention_bias_by_priors", "inter_token_attention_bias_by_priors"),
+        ("inter_token_attention_bias_scaler", "inter_token_attention_bias_scaler"),
+        ("n_inter_token_blocks", "n_inter_token_blocks"),
         ("embed_lang_id", "embed_lang_id"),
         ("embed_using_source_embeddings", "embed_using_source_embeddings"),
         ("language_adapter_bottleneck_dim", "language_adapter_bottleneck_dim"),
@@ -217,6 +233,9 @@ def reference_config_to_ours(ref: dict) -> HypernetConfig:
     if kwargs.get("num_attention_heads") is None:
         kwargs["num_attention_heads"] = kwargs["hidden_size"] // 64
     kwargs["hidden_act"] = ref.get("hidden_act", "gelu")  # HF roberta default
+    if kwargs.get("add_inter_token_attention"):
+        # reference exchanges are full residual attention blocks
+        kwargs["inter_token_residual_ln"] = True
     return HypernetConfig(**kwargs)
 
 
@@ -240,6 +259,9 @@ def sync_config_to_params(config: HypernetConfig, params: dict) -> HypernetConfi
     lang = ("encoder", "lang_embedding", "embedding")
     if lang in flat:
         updates["n_langs"] = int(flat[lang].shape[0])
+    blocks = ("encoder", "inter_token_blocks")
+    if blocks in flat:
+        updates["n_inter_token_blocks"] = int(flat[blocks].shape[0])
     return dataclasses.replace(config, **updates)
 
 
