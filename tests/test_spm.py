@@ -16,7 +16,10 @@ def trained(corpus):
 
 
 def test_vocab_size_and_structure(trained):
-    assert len(trained) == 800
+    # like sentencepiece/HF, the trainer emits at most vocab_size pieces —
+    # never MORE than the corpus supports (padding with never-used pieces
+    # would carry meaningless scores)
+    assert 256 < len(trained) <= 800
     assert trained.token_to_id("<unk>") == 0
     assert trained.token_to_id("<s>") == 1
     vocab = trained.get_vocab(with_added_tokens=False)
@@ -25,6 +28,18 @@ def test_vocab_size_and_structure(trained):
 
     for c in BYTE_ALPHABET:
         assert c in vocab
+
+
+def test_scores_are_sane_log_probs(trained):
+    """Regression: vocab_size beyond corpus support used to emit pieces with
+    digamma-degenerate scores (-1e9-scale); every emitted piece must carry a
+    plausible log-prob."""
+    scores = np.array(trained.model.get_scores())
+    nonspecial = scores[scores < 0]
+    assert nonspecial.min() > -50, nonspecial.min()
+    # normalized distribution: logsumexp ~ 0
+    lse = np.log(np.exp(nonspecial - nonspecial.max()).sum()) + nonspecial.max()
+    assert abs(lse) < 0.1
 
 
 def test_learns_frequent_words(trained, corpus):
@@ -114,6 +129,11 @@ def test_make_tokenizers_cli_train_and_sample(tmp_path, corpus):
         assert len(tok) >= 256
         ids = tok.encode("hello world").ids
         assert len(ids) > 0 and tok.decode(ids) == " hello world"
-        prior = np.load(str(out / "priors.npy"))
-        assert prior.shape[0] == len(tok)
-        assert np.isfinite(prior).all()
+        # reference artifact format (zett/compute_prior.py:158-166)
+        prior = np.load(str(out / "priors.npy"), allow_pickle=True).item()
+        assert set(prior) == {"substring", "token"}
+        assert np.asarray(prior["token"]).shape[0] == len(tok)
+        assert np.isfinite(prior["token"]).all()
+        # HF sidecars so the dir loads with PreTrainedTokenizerFast
+        assert (out / "tokenizer_config.json").exists()
+        assert (out / "special_tokens_map.json").exists()

@@ -91,8 +91,14 @@ def train_unigram(
             if total <= 0:
                 break
             with np.errstate(invalid="ignore"):
+                # digamma explodes toward -1/x for x -> 0: pieces with
+                # near-zero expected counts must take the finite sink branch,
+                # not digamma(1e-10) ~ -1e10 (degenerate scores that poison
+                # the final vocab when vocab_size exceeds corpus support)
+                # digamma(x) ~ -1/x for x -> 0: anything below ~0.05 expected
+                # occurrences would get a nonsense-scale score
                 new_scores = np.where(
-                    counts > 1e-10,
+                    counts > 0.05,
                     digamma(counts + 1e-12) - digamma(total),
                     scores - 20.0,  # unused pieces sink
                 )
@@ -125,6 +131,30 @@ def train_unigram(
         if len(pieces) <= target_core:
             scores = em(pieces, scores, n_em_iters)
             break
+
+    # drop pieces the corpus cannot support (expected usage < ~half an
+    # occurrence): both sentencepiece and HF's UnigramTrainer emit FEWER
+    # pieces than requested rather than pad the vocab with never-used
+    # entries whose scores are meaningless. Byte rows always stay.
+    model = _host_lib.NativeUnigram(pieces, list(scores), unk_id=-1)
+    counts, _ = model.expected_counts(pretokens, weights, len(pieces))
+    supported = (counts >= 0.5) | (np.arange(len(pieces)) < 256)
+    if supported.sum() < len(pieces):
+        if verbose:
+            print(
+                f"corpus supports {int(supported.sum())} of {len(pieces)} "
+                "requested pieces; dropping the rest"
+            )
+        pieces = [p for p, k in zip(pieces, supported) if k]
+        scores = scores[supported]
+        scores = em(pieces, scores, 1)
+
+    # floor the stragglers (byte-coverage rows and sub-threshold survivors
+    # whose sink scores drifted): just below the rarest genuinely-used piece,
+    # the same convention as the Viterbi unk penalty
+    used = scores[counts[supported] >= 0.5] if supported.any() else scores
+    if used.size:
+        scores = np.maximum(scores, used.min() - 10.0)
 
     # normalize scores to log-probs
     logZ = np.log(np.exp(scores - scores.max()).sum()) + scores.max()
