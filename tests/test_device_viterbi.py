@@ -146,6 +146,31 @@ def test_count_tokens_device_matches_host(vocab, pretokens):
     np.testing.assert_array_equal(got_sharded, expected)
 
 
+def test_count_tokens_device_overlong_host_fallback(vocab):
+    """Pretokens longer than max_pretoken_len must not be truncated into
+    wrong counts: the host C++ encoder segments the overlong tail exactly
+    and its counts fold into the device histogram."""
+    from zett_tpu.ops.device_viterbi import count_tokens_device
+
+    pieces, scores = vocab
+    native = host_lib.NativeUnigram(pieces, scores, unk_id=-1)
+    long_pt = b" the" * 20  # 80 bytes > 16
+    weighted = {long_pt: 5, b" the": 2, b" of": 1}
+    segs = native.encode_pretokens(list(weighted))
+    expected = np.zeros(len(pieces), dtype=np.int64)
+    for (p, w), seg in zip(weighted.items(), segs):
+        for t in seg:
+            if t >= 0:
+                expected[t] += w
+    got = count_tokens_device(pieces, scores, weighted, max_pretoken_len=16)
+    np.testing.assert_array_equal(got, expected)
+    # the old clip behavior remains opt-in
+    got_trunc = count_tokens_device(
+        pieces, scores, weighted, max_pretoken_len=16, overlong="truncate"
+    )
+    assert (got_trunc != expected).any()
+
+
 def test_count_tokens_device_int64_weights(vocab):
     """Whole-corpus multiplicities overflow the on-device int32 histogram;
     the host chunking must accumulate exactly in int64. One pretoken with

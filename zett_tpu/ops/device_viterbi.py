@@ -375,8 +375,9 @@ def count_tokens_device(
     scores: Sequence[float],
     pretoken_counts,  # Mapping[bytes, int]
     mesh=None,
-    max_pretoken_len: int = 16,
+    max_pretoken_len: int = 64,
     K: int = 16,
+    overlong: str = "host",
 ) -> np.ndarray:
     """Corpus token-usage counts entirely on-device (BASELINE north star:
     "token-frequency counts reduced via psum collectives").
@@ -389,7 +390,12 @@ def count_tokens_device(
 
     Replaces the host pass the reference does with HF `tokenizers` +
     np.unique when reestimating priors (zett/utils.py:291-315 with input_ids
-    produced by the Rust encode)."""
+    produced by the Rust encode).
+
+    `overlong`: pretokens longer than max_pretoken_len are a tiny Zipf tail
+    but truncating them changes their segmentations (and the counts).
+    "host" (default) segments them exactly with the native C++ encoder and
+    folds their counts in; "truncate" keeps the old clip behavior."""
     from jax.experimental.shard_map import shard_map
     from jax.sharding import PartitionSpec as P
 
@@ -398,13 +404,27 @@ def count_tokens_device(
     unk_score = (min(scores) if len(scores) else 0.0) - 10.0
     n_pieces = len(pieces)
 
+    host_tail = np.zeros(n_pieces, dtype=np.int64)
     agg: Dict[bytes, int] = {}
+    long_keys: list = []
     for p, w in pretoken_counts.items():
+        if len(p) > max_pretoken_len and overlong == "host":
+            long_keys.append(p)
+            continue
         key = p[:max_pretoken_len]
         agg[key] = agg.get(key, 0) + int(w)
+    if long_keys:
+        from ..csrc import host_lib
+
+        native = host_lib.NativeUnigram(pieces, scores, unk_id=-1)
+        for p, seg in zip(long_keys, native.encode_pretokens(long_keys)):
+            w = int(pretoken_counts[p])
+            for pid in seg:
+                if pid >= 0:
+                    host_tail[pid] += w
     keys = list(agg.keys())
     if not keys:
-        return np.zeros(n_pieces, dtype=np.int64)
+        return host_tail
     rows, lens = pack_pretokens(keys, max_pretoken_len)
     weights = np.fromiter((agg[k] for k in keys), dtype=np.int64, count=len(keys))
 
@@ -434,7 +454,7 @@ def count_tokens_device(
     LIMIT = (np.int64(1) << 31) - (np.int64(1) << 20)
     cost = weights * np.maximum(lens.astype(np.int64), 1)
     cum = np.cumsum(cost)
-    total = np.asarray(np.zeros(n_pieces), dtype=np.int64)
+    total = host_tail.copy()
     start = 0
     n = len(keys)
     while start < n:
