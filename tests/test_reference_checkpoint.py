@@ -230,6 +230,114 @@ def test_load_reference_hypernet_directory(ref_hypernet_cls, tmp_path):
         )
 
 
+T5_CASES = {
+    "t5_base": {},
+    # NOTE: hn_embed_using_source_embeddings + t5 has NO parity case because
+    # the reference itself cannot run it: its Hypernet passes inputs_embeds
+    # to FlaxHyperT5EncoderModule.__call__, which doesn't accept the kwarg
+    # (TypeError, zett/model/__init__.py:417-425 with hyper_t5.py:420-433) —
+    # see test_reference_t5_source_embed_broken_upstream. Our compat encoder
+    # accepts inputs_embeds regardless (a working superset).
+    "t5_priors_inter_token": {
+        "hn_embed_target_priors": True,
+        "hn_add_inter_token_attention": True,
+        "hn_n_inter_token_blocks": 4,
+    },
+}
+
+
+def test_reference_t5_source_embed_broken_upstream(ref_hypernet_cls, ref_t5_cfg_dir):
+    """Pin the upstream gap that removes the t5+source-embeddings parity
+    case: the reference's own forward raises TypeError for this combination,
+    so no published checkpoint of that shape can exist."""
+    RefHypernet, HypernetArgs, _ = ref_hypernet_cls
+    args = _ref_args(HypernetArgs, ref_t5_cfg_dir, hn_model_type="t5",
+                     hn_embed_using_source_embeddings=True)
+    ref_model = RefHypernet(config=args, dtype=jnp.float32)
+    rng = np.random.default_rng(3)
+    sf = rng.integers(0, 240, size=(4, 7)).astype(np.int32)
+    source = rng.normal(size=(200, 32)).astype(np.float32)
+    with pytest.raises(TypeError, match="inputs_embeds"):
+        ref_model.init(jax.random.PRNGKey(0), jnp.asarray(sf),
+                       jnp.zeros(4, np.float32), jnp.asarray(source), None)
+
+
+@pytest.fixture(scope="module")
+def ref_t5_cfg_dir(ref_hypernet_cls, tmp_path_factory):
+    cfg_dir = tmp_path_factory.mktemp("ref_hn_t5_cfg")
+    with open(cfg_dir / "config.json", "w") as f:
+        json.dump({
+            "model_type": "t5", "vocab_size": 300, "d_model": 32, "d_ff": 64,
+            "num_layers": 2, "num_heads": 2, "d_kv": 16,
+            "relative_attention_num_buckets": 32,
+            "relative_attention_max_distance": 128,
+            "layer_norm_epsilon": 1e-6, "dropout_rate": 0.0,
+            "feed_forward_proj": "relu", "initializer_factor": 1.0,
+            "is_encoder_decoder": False,
+        }, f)
+    return str(cfg_dir)
+
+
+@pytest.mark.parametrize("case", sorted(T5_CASES))
+def test_reference_t5_forward_parity(ref_hypernet_cls, ref_t5_cfg_dir, case):
+    """hn_model_type="t5" checkpoints (reference zett/model/hyper_t5.py)
+    load numerically through the T5-compat encoder
+    (models/hypernet_t5.py): pre-LN RMS blocks, unscaled attention,
+    relative bias in block 0, prior token with the log(1e-12)
+    normalization, T5-style inter-token exchange."""
+    RefHypernet, HypernetArgs, _ = ref_hypernet_cls
+    args = _ref_args(HypernetArgs, ref_t5_cfg_dir,
+                     hn_model_type="t5", **T5_CASES[case])
+
+    ref_model = RefHypernet(config=args, dtype=jnp.float32)
+
+    V, M = 12, 7
+    rng = np.random.default_rng(3)
+    if getattr(args, "hn_embed_using_source_embeddings", False):
+        sf = rng.integers(0, args.original_vocab_size + args.hn_n_extra_tokens,
+                          size=(V, M)).astype(np.int32)
+    else:
+        sf = rng.integers(0, 290, size=(V, M)).astype(np.int32)
+    sf[:, 0] = np.maximum(sf[:, 0], 1)
+    priors = rng.normal(size=V).astype(np.float32)
+    source = rng.normal(size=(args.original_vocab_size, 2 * args.n_embd)).astype(np.float32)
+
+    ref_params = ref_model.init(
+        jax.random.PRNGKey(0), jnp.asarray(sf), jnp.asarray(priors),
+        jnp.asarray(source), None,
+    )
+    ref_out = ref_model.apply(
+        ref_params, jnp.asarray(sf), jnp.asarray(priors),
+        jnp.asarray(source), None,
+    )
+
+    from zett_tpu.models.reference_io import sync_config_to_params
+
+    ref_cfg_dict = dict(_ref_args_to_dict(args))
+    with open(os.path.join(ref_t5_cfg_dir, "config.json")) as f:
+        ref_cfg_dict.update({k: v for k, v in json.load(f).items()
+                             if k not in ref_cfg_dict})
+    config = reference_config_to_ours(ref_cfg_dict)
+    assert config.encoder_type == "t5"
+    ours_params = convert_reference_hypernet(
+        jax.tree_util.tree_map(np.asarray, ref_params), config
+    )
+    config = sync_config_to_params(config, ours_params)
+    ours = Hypernet(config, dtype=jnp.float32)
+    our_out = ours.apply(
+        {"params": ours_params}, jnp.asarray(sf), jnp.asarray(priors),
+        jnp.asarray(source), None,
+    )
+    for name, r, o in zip(("emb_in", "emb_out", "bias"), ref_out, our_out):
+        if r is None:
+            assert o is None or np.allclose(np.asarray(o), 0), name
+            continue
+        np.testing.assert_allclose(
+            np.asarray(o), np.asarray(r), rtol=2e-5, atol=2e-6,
+            err_msg=f"{case}:{name}",
+        )
+
+
 def test_inter_token_config_maps_to_compat_mode():
     """Loading an inter-token-attention checkpoint config turns on the
     residual+LN compat mode so the exchange matches the reference's full

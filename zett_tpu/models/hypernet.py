@@ -71,6 +71,10 @@ class HypernetConfig:
     # "absolute" (roberta-style learned positions) or "relative" (t5-style
     # bucketed relative attention bias — the hn_model_type="t5" equivalent)
     position_embedding_type: str = "absolute"
+    # "roberta" (our fresh post-LN encoder) or "t5" (pre-LN RMS-norm compat
+    # encoder that holds hn_model_type="t5" reference checkpoints
+    # numerically — models/hypernet_t5.py)
+    encoder_type: str = "roberta"
     relative_attention_num_buckets: int = 32
     relative_attention_max_distance: int = 128
     # encoder-MLP / adapter activation: "gelu_new" (tanh approximation, our
@@ -456,7 +460,12 @@ class Hypernet(nn.Module):
 
     def setup(self):
         cfg = self.config
-        self.encoder = HypernetEncoder(cfg, dtype=self.dtype)
+        if cfg.encoder_type == "t5":
+            from .hypernet_t5 import T5CompatEncoder
+
+            self.encoder = T5CompatEncoder(cfg, dtype=self.dtype)
+        else:
+            self.encoder = HypernetEncoder(cfg, dtype=self.dtype)
         self.fallback_embeddings = nn.Embed(
             max(cfg.n_extra_tokens, 1),
             cfg.n_in_embd,

@@ -25,6 +25,11 @@ a full residual attention block per exchange (hyper_roberta.py:344-427) where
 our redesign uses bare cross-attention — loading sets
 `inter_token_residual_ln=True`, a compat mode that restores the residual +
 LayerNorm around both exchanges so those checkpoints map numerically too.
+
+`hn_model_type="t5"` checkpoints (zett/model/hyper_t5.py) load through the
+T5-compat encoder (`encoder_type="t5"`, models/hypernet_t5.py): pre-LN RMS
+blocks, unscaled attention, relative bias in block 0, the log(1e-12) prior
+normalization, and T5-style inter-token exchange, all mapped numerically.
 """
 
 from __future__ import annotations
@@ -78,6 +83,65 @@ _LAYER_RENAMES = {
 }
 
 
+# t5-type layer renames: reference block paths are
+# encoder/block/{i}/layer/{0,1}/... with the hyper extensions attached to
+# the "layer" module itself (hyper_t5.py FlaxHyperT5Block); ours are
+# encoder/layer_{i}/... (models/hypernet_t5.py T5Block)
+_T5_LAYER_RENAMES = {
+    ("layer", "0", "SelfAttention", "q"): ("attention", "q"),
+    ("layer", "0", "SelfAttention", "k"): ("attention", "k"),
+    ("layer", "0", "SelfAttention", "v"): ("attention", "v"),
+    ("layer", "0", "SelfAttention", "o"): ("attention", "o"),
+    ("layer", "0", "SelfAttention", "relative_attention_bias"): (
+        "attention", "relative_attention_bias"),
+    ("layer", "0", "layer_norm"): ("attn_ln",),
+    ("layer", "1", "DenseReluDense", "wi"): ("ff", "wi"),
+    ("layer", "1", "DenseReluDense", "wi_0"): ("ff", "wi_0"),
+    ("layer", "1", "DenseReluDense", "wi_1"): ("ff", "wi_1"),
+    ("layer", "1", "DenseReluDense", "wo"): ("ff", "wo"),
+    ("layer", "1", "layer_norm"): ("ff_ln",),
+    ("layer", "inter_token_attention_down", "q"): ("inter_token_down", "q"),
+    ("layer", "inter_token_attention_down", "k"): ("inter_token_down", "k"),
+    ("layer", "inter_token_attention_down", "v"): ("inter_token_down", "v"),
+    ("layer", "inter_token_attention_down", "o"): ("inter_token_down", "o"),
+    ("layer", "inter_token_attention_up", "q"): ("inter_token_up", "q"),
+    ("layer", "inter_token_attention_up", "k"): ("inter_token_up", "k"),
+    ("layer", "inter_token_attention_up", "v"): ("inter_token_up", "v"),
+    ("layer", "inter_token_attention_up", "o"): ("inter_token_up", "o"),
+    ("layer", "inter_token_layer_norm1"): ("inter_token_ln1",),
+    ("layer", "inter_token_layer_norm2"): ("inter_token_ln2",),
+}
+
+
+def _convert_t5_path(sub, config, out, value):
+    """Map one reference t5-tree path (after the `model.` trim) into ours.
+    Returns True if handled."""
+    if sub[:2] == ("shared", "embedding"):
+        if not config.embed_using_source_embeddings:
+            out[("encoder", "word_embeddings", "embedding")] = value
+        return True  # 1-row placeholder in source-embedding mode
+    if sub[:2] == ("encoder", "target_priors_projection"):
+        if config.embed_target_priors:
+            out[("encoder", "prior_projection") + sub[2:]] = value
+        return True
+    if sub[:2] == ("encoder", "final_layer_norm"):
+        out[("encoder", "final_ln") + sub[2:]] = value
+        return True
+    if sub[:3] == ("encoder", "block", "inter_token_blocks"):
+        if config.add_inter_token_attention:
+            out[("encoder", "inter_token_blocks")] = value
+        return True
+    if sub[0] == "encoder" and sub[1] == "block":
+        i = sub[2]
+        for ref_suffix, our_suffix in _T5_LAYER_RENAMES.items():
+            if sub[3 : 3 + len(ref_suffix)] == ref_suffix:
+                rest = sub[3 + len(ref_suffix):]
+                out[("encoder", f"layer_{i}") + our_suffix + rest] = value
+                return True
+        raise KeyError(f"unmapped reference t5 layer param: {sub}")
+    return False
+
+
 def _flatten(tree, prefix=()):
     out = {}
     for k, v in tree.items():
@@ -116,6 +180,10 @@ def convert_reference_hypernet(
     for path, value in flat.items():
         if path[0] == "model":
             sub = path[1:]
+            if config.encoder_type == "t5":
+                if _convert_t5_path(sub, config, out, value):
+                    continue
+                raise KeyError(f"unmapped reference t5 param: {path}")
             if sub[:2] == ("embeddings", "token_type_embeddings"):
                 token_type = value
                 continue
@@ -204,11 +272,9 @@ _CONFIG_KEYMAP = {
 def reference_config_to_ours(ref: dict) -> HypernetConfig:
     """Map a reference checkpoint config (HF config.json with the hn_* args
     copied on, or a bare HypernetArgs dict) to HypernetConfig."""
-    if ref.get("hn_model_type", "roberta") != "roberta":
-        raise NotImplementedError(
-            "only roberta-type reference hypernets load numerically; the "
-            "t5 variant's encoder was redesigned (see models/hypernet.py)"
-        )
+    model_type = ref.get("hn_model_type", "roberta")
+    if model_type not in ("roberta", "t5"):
+        raise NotImplementedError(f"unknown reference hn_model_type {model_type!r}")
     kwargs = {}
     for src, dst in _CONFIG_KEYMAP.items():
         if ref.get(src) is not None:
@@ -230,6 +296,28 @@ def reference_config_to_ours(ref: dict) -> HypernetConfig:
     ):
         if dst not in kwargs and ref.get(alias) is not None:
             kwargs[dst] = ref[alias]
+    if model_type == "t5":
+        # T5-compat encoder (models/hypernet_t5.py); T5-native config keys
+        kwargs["encoder_type"] = "t5"
+        for t5_key, dst in (("d_model", "hidden_size"), ("d_ff", "intermediate_size"),
+                            ("num_layers", "num_hidden_layers"),
+                            ("num_heads", "num_attention_heads")):
+            if dst not in kwargs and ref.get(t5_key) is not None:
+                kwargs[dst] = ref[t5_key]
+        kwargs["layer_norm_eps"] = ref.get("layer_norm_epsilon", 1e-6)
+        ff = ref.get("feed_forward_proj", "relu")
+        kwargs["hidden_act"] = "gated-gelu" if "gated" in ff else "relu"
+        if ref.get("dropout_rate") is not None:
+            kwargs.setdefault("hidden_dropout_prob", ref["dropout_rate"])
+            kwargs.setdefault("attention_dropout_prob", ref["dropout_rate"])
+        d_kv = ref.get("d_kv")
+        if d_kv is not None and d_kv * kwargs["num_attention_heads"] != kwargs["hidden_size"]:
+            raise NotImplementedError(
+                "t5 checkpoints with num_heads*d_kv != d_model are not supported"
+            )
+        if kwargs.get("num_attention_heads") is None:
+            kwargs["num_attention_heads"] = kwargs["hidden_size"] // 64
+        return HypernetConfig(**kwargs)
     if kwargs.get("num_attention_heads") is None:
         kwargs["num_attention_heads"] = kwargs["hidden_size"] // 64
     kwargs["hidden_act"] = ref.get("hidden_act", "gelu")  # HF roberta default
