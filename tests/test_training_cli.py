@@ -215,3 +215,24 @@ def test_run_training_extra_valid_minted_artifacts(model_dir, corpus, tmp_path):
         assert any(key in h for h in eval_logs), (key, sorted(eval_logs[0]))
         val = next(h[key] for h in eval_logs if key in h)
         assert np.isfinite(val)
+
+
+def test_cli_distributed_flag_overrides(monkeypatch, tmp_path):
+    """The SLURM launcher (experiments/pod/run.slurm) passes per-process
+    distributed identity as CLI flags on top of a shared JSON config."""
+    from zett_tpu.training import __main__ as tm
+
+    cfg_path = tmp_path / "c.json"
+    with open(cfg_path, "w") as f:
+        json.dump({"steps": 1}, f)
+    seen = {}
+    monkeypatch.setattr(tm, "run_training", lambda config, name: seen.update(config))
+    tm.main([str(cfg_path), "--distributed-coordinator", "10.0.0.2:8476",
+             "--distributed-num-processes", "4", "--distributed-process-id", "3"])
+    assert seen["distributed"] == {
+        "coordinator_address": "10.0.0.2:8476",
+        "num_processes": 4,
+        "process_id": 3,
+    }
+    with pytest.raises(SystemExit):
+        tm.main([str(cfg_path), "--bogus-flag"])

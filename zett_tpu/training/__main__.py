@@ -49,11 +49,21 @@ def load_configs(config: dict):
 
 def main(argv=None):
     argv = argv if argv is not None else sys.argv[1:]
-    if len(argv) == 1 and argv[0].endswith(".json"):
+    # cluster launchers (experiments/pod/run.slurm) pass per-process
+    # distributed identity as flags on top of a shared JSON config
+    dist_p = argparse.ArgumentParser(add_help=False)
+    dist_p.add_argument("--distributed-coordinator", default=None)
+    dist_p.add_argument("--distributed-num-processes", type=int, default=None)
+    dist_p.add_argument("--distributed-process-id", type=int, default=None)
+
+    if argv and argv[0].endswith(".json"):
+        dist_args, rest = dist_p.parse_known_args(argv[1:])
+        if rest:
+            raise SystemExit(f"unknown arguments after config file: {rest}")
         config = load_config_file(argv[0])
         run_name = os.path.splitext(os.path.basename(argv[0]))[0]
     else:
-        p = argparse.ArgumentParser(description=__doc__)
+        p = argparse.ArgumentParser(description=__doc__, parents=[dist_p])
         p.add_argument("--config", default=None)
         p.add_argument("--model", dest="model_dir")
         p.add_argument("--train-data", dest="train_directory")
@@ -64,14 +74,22 @@ def main(argv=None):
         p.add_argument("--num-workers", type=int, default=0)
         p.add_argument("--langs", nargs="*", default=["en"])
         args = p.parse_args(argv)
+        dist_args = args
         config = {}
         if args.config:
             with open(args.config) as f:
                 config = json.load(f)
         for k, v in vars(args).items():
-            if v is not None and k != "config":
+            if v is not None and k != "config" and not k.startswith("distributed_"):
                 config[k] = v
         run_name = os.path.basename(config.get("output_dir", "run"))
+
+    if dist_args.distributed_coordinator is not None:
+        config["distributed"] = {
+            "coordinator_address": dist_args.distributed_coordinator,
+            "num_processes": dist_args.distributed_num_processes,
+            "process_id": dist_args.distributed_process_id,
+        }
 
     run_training(config, run_name)
 
