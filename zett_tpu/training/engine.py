@@ -101,10 +101,13 @@ class Trainer:
         self._jit_steps()
 
     # ------------------------------------------------------------------ state
-    def _init_state_fn(self, rng):
+    def _init_state_fn(self, rng, source, backbone_params):
+        """source/backbone_params are jit ARGUMENTS, not closure captures:
+        baked-in literals blow up the serialized program (a 124M backbone
+        exceeds the remote-tunnel compiler's request limit outright) and
+        defeat sharded init."""
         cfg = self.cfg
         hn_cfg = self.hn_config
-        source = jnp.asarray(self.source_embeddings)
         example_sf = jnp.ones((1, hn_cfg.hn_surface_maxlen), dtype=jnp.int32)
         example_priors = jnp.ones(1, dtype=jnp.float32)
 
@@ -144,7 +147,6 @@ class Trainer:
             flat.update(pretrained)
             hn_params = traverse_util.unflatten_dict(flat)
 
-        backbone_params = self.backbone_params
         if cfg.backbone_training == "no":
             backbone_params = jax.tree_util.tree_map(
                 lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
@@ -194,13 +196,15 @@ class Trainer:
         # and rngs (the reference's per-process seed offset, train.py:586,
         # only worked because batches were later replicated from host 0)
         rng = jax.random.PRNGKey(self.cfg.seed)
+        src = self.source_embeddings
+        bb = self.backbone_params
         if self.mesh is not None:
-            abstract = jax.eval_shape(self._init_state_fn, rng)
+            abstract = jax.eval_shape(self._init_state_fn, rng, src, bb)
             shardings = self.state_shardings(abstract)
             init = jax.jit(self._init_state_fn, out_shardings=shardings)
-            self.state = init(rng)
+            self.state = init(rng, src, bb)
         else:
-            self.state = jax.jit(self._init_state_fn)(rng)
+            self.state = jax.jit(self._init_state_fn)(rng, src, bb)
 
     # ------------------------------------------------------------------ steps
     def _jit_steps(self):
