@@ -30,6 +30,8 @@ def main(argv=None):
     ap.add_argument("--small", action="store_true",
                     help="tiny shapes (smoke test on CPU)")
     ap.add_argument("--steps", type=int, default=5)
+    ap.add_argument("--remat", action="store_true",
+                    help="remat the hypernet forward (TrainingConfig.remat_hypernet)")
     args = ap.parse_args(argv)
 
     import numpy as np
@@ -81,6 +83,7 @@ def main(argv=None):
             steps=args.steps, learning_rate=3e-4, warmup_steps=1,
             logging_steps=1, save_steps=0, eval_steps=0,
             lexical_loss_weight=0.5, dtype="bfloat16",
+            remat_hypernet=args.remat,
         ),
         vocab_batch_size=V, mesh=None,
     )
@@ -128,10 +131,11 @@ def main(argv=None):
         "batch": B, "block": L, "vocab_rows": V,
         "backbone": f"gpt2 {bb.n_layer}L/{bb.n_embd}h",
         "hypernet": f"{hn_hidden}h/{hn_layers}L",
+        "remat_hypernet": args.remat,
         "device": str(jax.devices()[0]),
     }
     print(json.dumps(result))
-    if not args.small:
+    if not args.small and not args.remat:
         out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "experiments", "results", "train_step_bench.json")
         with open(out, "w") as f:

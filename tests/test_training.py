@@ -187,3 +187,22 @@ class TestFitLoop:
         assert any("identity_loss" in m for _, m in logs) or any(
             "loss" in m for _, m in logs
         )
+
+
+def test_remat_hypernet_identical_losses():
+    """remat_hypernet=True recomputes the hypernet forward in the backward
+    pass (memory headroom at the 32k-vocab reference shape) without changing
+    the math: losses match the non-remat trainer step for step."""
+    from tests_helpers_trainer import make_batch, make_tiny_trainer
+
+    t_plain = make_tiny_trainer()
+    t_remat = make_tiny_trainer(remat_hypernet=True)
+    for seed in range(3):
+        batch = make_batch(seed)
+        db_a = t_plain._device_batch(batch)
+        db_b = t_remat._device_batch(batch)
+        t_plain.state, m_a = t_plain.train_step(t_plain.state, db_a)
+        t_remat.state, m_b = t_remat.train_step(t_remat.state, db_b)
+        np.testing.assert_allclose(
+            float(m_a["loss"]), float(m_b["loss"]), rtol=1e-6
+        )

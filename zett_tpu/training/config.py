@@ -41,3 +41,8 @@ class TrainingConfig:
     eval_at_step_zero: bool = False
     dtype: str = "float32"
     n_model_parallel: int = 1
+    # rematerialize the hypernet forward in the backward pass
+    # (jax.checkpoint): its activations live on the 32k-row vocab axis and
+    # dominate HBM at the reference shape — the step runs at 15.7/15.75 GB
+    # without this (see experiments/profiles/hypernet_r3.md)
+    remat_hypernet: bool = False

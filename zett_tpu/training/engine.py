@@ -244,16 +244,29 @@ class Trainer:
             src_out = state.source_embeddings[:, n_embd:] if not out_tied else None
             return src_in, src_out
 
+        def _hn_forward(variables, sf, priors, source, lang, rngs):
+            return hypernet.apply(
+                variables, sf, priors, source, lang,
+                deterministic=not cfg.run_backbone_in_training_mode,
+                rngs=rngs,
+            )
+
+        if cfg.remat_hypernet:
+            # trade one extra hypernet forward for dropping its vocab-axis
+            # activations from HBM during the backbone bwd (the step is
+            # memory-bound at the reference shape; XLA otherwise
+            # force-remats with padded spill copies)
+            _hn_forward = jax.checkpoint(_hn_forward)
+
         def compute_embeddings(state, params, batch, dropout_rng):
             src_in, src_out = split_source(state)
-            emb_in, emb_out, biases = hypernet.apply(
+            emb_in, emb_out, biases = _hn_forward(
                 {"params": params["hypernet"]},
                 batch["target_surface_forms"],
                 batch["target_priors"],
                 state.source_embeddings,
                 batch["lang_index"],
-                deterministic=not cfg.run_backbone_in_training_mode,
-                rngs={"dropout": dropout_rng} if cfg.run_backbone_in_training_mode else {},
+                {"dropout": dropout_rng} if cfg.run_backbone_in_training_mode else {},
             )
             if src_in is not None:
                 emb_in = emb_in.at[batch["special_indices"]].set(
