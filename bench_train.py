@@ -32,6 +32,10 @@ def main(argv=None):
     ap.add_argument("--steps", type=int, default=5)
     ap.add_argument("--remat", action="store_true",
                     help="remat the hypernet forward (TrainingConfig.remat_hypernet)")
+    ap.add_argument("--loss-chunk", type=int, default=0,
+                    help="chunked linear-CE position-chunk size (0 = full logits)")
+    ap.add_argument("--batch", type=int, default=0,
+                    help="override the LM batch size")
     args = ap.parse_args(argv)
 
     import numpy as np
@@ -59,6 +63,8 @@ def main(argv=None):
         bb = GPT2Config(vocab_size=50257, n_positions=1024, n_embd=768,
                         n_layer=12, n_head=12)
         hn_hidden, hn_layers = 768, 3
+    if args.batch:
+        B = args.batch
 
     cpu = jax.local_devices(backend="cpu")[0]
     with jax.default_device(cpu):
@@ -83,7 +89,7 @@ def main(argv=None):
             steps=args.steps, learning_rate=3e-4, warmup_steps=1,
             logging_steps=1, save_steps=0, eval_steps=0,
             lexical_loss_weight=0.5, dtype="bfloat16",
-            remat_hypernet=args.remat,
+            remat_hypernet=args.remat, loss_chunk_size=args.loss_chunk,
         ),
         vocab_batch_size=V, mesh=None,
     )
@@ -132,10 +138,11 @@ def main(argv=None):
         "backbone": f"gpt2 {bb.n_layer}L/{bb.n_embd}h",
         "hypernet": f"{hn_hidden}h/{hn_layers}L",
         "remat_hypernet": args.remat,
+        "loss_chunk_size": args.loss_chunk,
         "device": str(jax.devices()[0]),
     }
     print(json.dumps(result))
-    if not args.small and not args.remat:
+    if not args.small and not args.remat and not args.loss_chunk and not args.batch:
         out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "experiments", "results", "train_step_bench.json")
         with open(out, "w") as f:

@@ -206,3 +206,23 @@ def test_remat_hypernet_identical_losses():
         np.testing.assert_allclose(
             float(m_a["loss"]), float(m_b["loss"]), rtol=1e-6
         )
+
+
+def test_chunked_clm_loss_matches_full():
+    """loss_chunk_size computes the identical CLM loss without ever
+    materializing the (B, L, vocab) logits (the single-chip batch ceiling
+    at the 32k-vocab reference shape): losses and training trajectories
+    must match the full-logits path."""
+    from tests_helpers_trainer import make_batch, make_tiny_trainer
+
+    t_full = make_tiny_trainer(lexical_loss_weight=0.5)
+    t_chunk = make_tiny_trainer(lexical_loss_weight=0.5, loss_chunk_size=4)
+    # also a chunk size that does NOT divide L-1=15 (pads internally)
+    t_chunk7 = make_tiny_trainer(lexical_loss_weight=0.5, loss_chunk_size=7)
+    for seed in range(3):
+        batch = make_batch(seed)
+        t_full.state, m_a = t_full.train_step(t_full.state, t_full._device_batch(batch))
+        t_chunk.state, m_b = t_chunk.train_step(t_chunk.state, t_chunk._device_batch(batch))
+        t_chunk7.state, m_c = t_chunk7.train_step(t_chunk7.state, t_chunk7._device_batch(batch))
+        np.testing.assert_allclose(float(m_a["loss"]), float(m_b["loss"]), rtol=1e-6)
+        np.testing.assert_allclose(float(m_a["loss"]), float(m_c["loss"]), rtol=1e-6)

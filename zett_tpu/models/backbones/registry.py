@@ -94,3 +94,28 @@ def is_output_tied(model_type: str, config=None) -> bool:
     if model_type in LLAMA_FAMILY and config is not None:
         return getattr(config, "tie_word_embeddings", False)
     return OUT_EMBEDDING_PATHS.get(model_type) is None
+
+
+def headless_model(model_type: str, config, dtype=None):
+    """(inner module, param-subtree key) computing final hidden states
+    WITHOUT the lm head — the chunked linear-cross-entropy path (training
+    engine) recomputes per-chunk logits from these so the full
+    (B, L, vocab) logit tensor never materializes. Returns None for
+    families whose head is not a plain (tied/untied) linear map (roberta's
+    MLM head has a dense+LN transform)."""
+    import jax.numpy as jnp
+
+    dtype = dtype or jnp.float32
+    if model_type == "gpt2":
+        from .gpt2 import GPT2Model
+
+        return GPT2Model(config, dtype=dtype), "transformer"
+    if model_type in LLAMA_FAMILY:
+        from .llama import LlamaModel
+
+        return LlamaModel(config, dtype=dtype), "model"
+    if model_type == "xglm":
+        from .xglm import XGLMModel
+
+        return XGLMModel(config, dtype=dtype), "model"
+    return None

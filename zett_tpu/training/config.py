@@ -46,3 +46,9 @@ class TrainingConfig:
     # dominate HBM at the reference shape — the step runs at 15.7/15.75 GB
     # without this (see experiments/profiles/hypernet_r3.md)
     remat_hypernet: bool = False
+    # chunked linear-cross-entropy: compute CLM logits per position-chunk
+    # from the final hidden states inside a rematerialized scan, so the
+    # (B, L, vocab) logit/grad pair never materializes (that pair is the
+    # single-chip batch ceiling at 32k vocab). 0 = off; typical 16-32.
+    # CLM + linear-head families (gpt2/llama/mistral/gemma/xglm) only.
+    loss_chunk_size: int = 0

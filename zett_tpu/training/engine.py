@@ -36,7 +36,7 @@ from ..parallel.sharding import (
     pspec_tree_ranked,
     shard_batch,
 )
-from .losses import lexical_loss, lm_loss
+from .losses import chunked_clm_loss, lexical_loss, lm_loss
 from .optimizer import build_optimizer, get_labels
 from .schedules import create_learning_rate_fn
 from .state import TrainState
@@ -300,18 +300,71 @@ class Trainer:
             logits = splice_and_logits(params, batch, emb_in, emb_out, biases)
             return emb_in, emb_out, logits
 
+        headless_cache: Dict[int, Any] = {}
+
+        def headless_for(vocab_size: int):
+            mod = headless_cache.get(vocab_size)
+            if mod is None:
+                from ..models.backbones.registry import headless_model
+
+                mod = headless_model(
+                    model_type,
+                    dataclasses.replace(backbone_config, vocab_size=vocab_size),
+                    dtype=dtype,
+                )
+                headless_cache[vocab_size] = mod
+            return mod
+
+        def chunked_loss(params, batch, emb_in, emb_out, biases):
+            """CLM loss without materializing the (B, L, V) logits: spliced
+            headless backbone -> final hidden states, then per-chunk logits
+            against the predicted output embeddings inside a remat'd scan
+            (losses.chunked_clm_loss)."""
+            mod, subtree = headless_for(int(emb_in.shape[0]))
+            spliced = splice_embeddings(
+                params["inner"], model_type, emb_in, None, None
+            )
+            hidden = mod.apply(
+                {"params": spliced[subtree]},
+                batch["input_ids"], batch["attention_mask"],
+            )
+            head_w = emb_out if (not out_tied and emb_out is not None) else emb_in
+            offset = jnp.where(
+                batch["mask"], 0.0, NEGATIVE_INF_FILL_VALUE
+            ).astype(jnp.float32)
+            if cfg.learnable_bias:
+                offset = offset + biases.astype(jnp.float32)
+            if cfg.add_target_priors_to_bias:
+                offset = offset + batch["target_priors"].astype(jnp.float32)
+            return chunked_clm_loss(
+                hidden, head_w, offset, batch["labels"],
+                batch["attention_mask"], cfg.loss_chunk_size,
+            )
+
+        use_chunked = (
+            cfg.loss_chunk_size > 0
+            and cfg.loss == "clm"
+            and headless_for(self.vocab_batch_size) is not None
+        )
+
         def train_step(state, batch):
             dropout_rng, new_dropout_rng = jax.random.split(state.dropout_rng)
             src_in, src_out = split_source(state)
 
             def compute_loss(params):
-                emb_in, emb_out, logits = compute_embeddings_and_logits(
-                    state, params, batch, dropout_rng
-                )
-                loss = lm_loss(
-                    logits.astype(jnp.float32), batch["labels"],
-                    batch["attention_mask"], cfg.loss,
-                )
+                if use_chunked:
+                    emb_in, emb_out, biases = compute_embeddings(
+                        state, params, batch, dropout_rng
+                    )
+                    loss = chunked_loss(params, batch, emb_in, emb_out, biases)
+                else:
+                    emb_in, emb_out, logits = compute_embeddings_and_logits(
+                        state, params, batch, dropout_rng
+                    )
+                    loss = lm_loss(
+                        logits.astype(jnp.float32), batch["labels"],
+                        batch["attention_mask"], cfg.loss,
+                    )
                 if hn_cfg.embed_using_source_embeddings and cfg.lexical_loss_weight > 0:
                     sf = batch["target_surface_forms"]
                     target_in = src_in[sf[:, 0]]

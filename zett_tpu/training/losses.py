@@ -2,10 +2,55 @@
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import optax
 
 from ..constants import EPSILON
+
+
+def chunked_clm_loss(hidden, head_w, logit_offset, labels, attention_mask,
+                     chunk_size: int):
+    """Memory-efficient CLM cross-entropy: logits are computed per
+    position-chunk from the final hidden states (`hidden @ head_w.T +
+    logit_offset`) inside a rematerialized scan, so the full
+    (B, L, vocab) logit/grad pair never lives in HBM — that pair is what
+    bounds the single-chip batch size at the 32k-vocab reference shape
+    (experiments/profiles/hypernet_r3.md). Numerically identical to
+    `lm_loss(logits, ..., "clm")` on the fully-materialized logits.
+
+    hidden: (B, L, H); head_w: (V, H) — the spliced output embeddings;
+    logit_offset: (V,) additive bias (vocab mask + learnable bias +
+    priors), already summed."""
+    B, L, H = hidden.shape
+    h = hidden[:, :-1]
+    y = jnp.maximum(labels[:, 1:], 0)
+    m = attention_mask[:, :-1]
+    L1 = L - 1
+    pad = (-L1) % chunk_size
+    if pad:
+        h = jnp.pad(h, ((0, 0), (0, pad), (0, 0)))
+        y = jnp.pad(y, ((0, 0), (0, pad)))
+        m = jnp.pad(m, ((0, 0), (0, pad)))
+    n_chunks = (L1 + pad) // chunk_size
+    # (n_chunks, B, C, ...) scan elements
+    hs = h.reshape(B, n_chunks, chunk_size, H).transpose(1, 0, 2, 3)
+    ys = y.reshape(B, n_chunks, chunk_size).transpose(1, 0, 2)
+    ms = m.reshape(B, n_chunks, chunk_size).transpose(1, 0, 2)
+
+    @jax.checkpoint
+    def chunk_ce(h_c, y_c, m_c):
+        logits = (h_c @ head_w.T.astype(h_c.dtype)).astype(jnp.float32)
+        logits = logits + logit_offset.astype(jnp.float32)[None, None, :]
+        ce = optax.softmax_cross_entropy_with_integer_labels(logits, y_c)
+        return (ce * m_c).sum()
+
+    def body(acc, xs):
+        h_c, y_c, m_c = xs
+        return acc + chunk_ce(h_c, y_c, m_c), None
+
+    total, _ = jax.lax.scan(body, jnp.float32(0.0), (hs, ys, ms))
+    return total / jnp.maximum(m.sum(), 1)
 
 
 def lm_loss(logits, labels, attention_mask, loss_mode: str, byte_lengths=None, with_bpb=False):
