@@ -32,6 +32,8 @@ def main(argv=None):
     ap.add_argument("--steps", type=int, default=5)
     ap.add_argument("--remat", action="store_true",
                     help="remat the hypernet forward (TrainingConfig.remat_hypernet)")
+    ap.add_argument("--remat-backbone", action="store_true",
+                    help="remat each backbone block (TrainingConfig.remat_backbone)")
     ap.add_argument("--loss-chunk", type=int, default=0,
                     help="chunked linear-CE position-chunk size (0 = full logits)")
     ap.add_argument("--batch", type=int, default=0,
@@ -90,6 +92,7 @@ def main(argv=None):
             logging_steps=1, save_steps=0, eval_steps=0,
             lexical_loss_weight=0.5, dtype="bfloat16",
             remat_hypernet=args.remat, loss_chunk_size=args.loss_chunk,
+            remat_backbone=args.remat_backbone,
         ),
         vocab_batch_size=V, mesh=None,
     )
@@ -139,10 +142,11 @@ def main(argv=None):
         "hypernet": f"{hn_hidden}h/{hn_layers}L",
         "remat_hypernet": args.remat,
         "loss_chunk_size": args.loss_chunk,
+        "remat_backbone": args.remat_backbone,
         "device": str(jax.devices()[0]),
     }
     print(json.dumps(result))
-    if not args.small and not args.remat and not args.loss_chunk and not args.batch:
+    if not args.small and not args.remat and not args.loss_chunk and not args.batch and not args.remat_backbone:
         out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "experiments", "results", "train_step_bench.json")
         with open(out, "w") as f:

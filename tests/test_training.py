@@ -226,3 +226,18 @@ def test_chunked_clm_loss_matches_full():
         t_chunk7.state, m_c = t_chunk7.train_step(t_chunk7.state, t_chunk7._device_batch(batch))
         np.testing.assert_allclose(float(m_a["loss"]), float(m_b["loss"]), rtol=1e-6)
         np.testing.assert_allclose(float(m_a["loss"]), float(m_c["loss"]), rtol=1e-6)
+
+
+def test_remat_backbone_identical_losses():
+    """remat_backbone recomputes each backbone block in the backward
+    (activation headroom for large LM batches) without changing the math."""
+    from tests_helpers_trainer import make_batch, make_tiny_trainer
+
+    a = make_tiny_trainer()
+    b = make_tiny_trainer(remat_backbone=True, loss_chunk_size=4,
+                          remat_hypernet=True)
+    for seed in range(2):
+        batch = make_batch(seed)
+        a.state, ma = a.train_step(a.state, a._device_batch(batch))
+        b.state, mb = b.train_step(b.state, b._device_batch(batch))
+        np.testing.assert_allclose(float(ma["loss"]), float(mb["loss"]), rtol=1e-6)

@@ -26,6 +26,10 @@ class GPT2Config:
     n_inner: int = None
     layer_norm_epsilon: float = 1e-5
     tie_word_embeddings: bool = True
+    # rematerialize each block in the backward pass (activation memory for
+    # large-batch training; the engine sets this from
+    # TrainingConfig.remat_backbone)
+    remat_blocks: bool = False
 
     @classmethod
     def from_hf(cls, hf_config) -> "GPT2Config":
@@ -107,8 +111,9 @@ class GPT2Model(nn.Module):
 
         # HF groups blocks under 'h' -> h_i in flax flat naming; we use a
         # nested 'h' scope with numeric children to match msgpack layouts
+        Block = nn.remat(GPT2Block) if cfg.remat_blocks else GPT2Block
         for i in range(cfg.n_layer):
-            hidden = GPT2Block(cfg, dtype=self.dtype, name=f"h_{i}")(hidden, attention_bias)
+            hidden = Block(cfg, dtype=self.dtype, name=f"h_{i}")(hidden, attention_bias)
         return nn.LayerNorm(epsilon=cfg.layer_norm_epsilon, name="ln_f")(hidden)
 
 

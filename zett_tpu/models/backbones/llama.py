@@ -36,6 +36,9 @@ class LlamaConfig:
     scale_embeddings: bool = False  # gemma multiplies embeddings by sqrt(hidden)
     rmsnorm_unit_offset: bool = False  # gemma uses (1 + w) * norm(x)
     model_type: str = "llama"
+    # rematerialize each layer in the backward pass (set by the engine from
+    # TrainingConfig.remat_backbone)
+    remat_blocks: bool = False
 
     @classmethod
     def from_hf(cls, hf_config) -> "LlamaConfig":
@@ -190,8 +193,9 @@ class LlamaModel(nn.Module):
             mask = causal
         attention_bias = jnp.where(mask, 0.0, jnp.finfo(jnp.float32).min)
 
+        Layer = nn.remat(LlamaLayer) if cfg.remat_blocks else LlamaLayer
         for i in range(cfg.num_hidden_layers):
-            hidden = LlamaLayer(cfg, dtype=self.dtype, name=f"layers_{i}")(
+            hidden = Layer(cfg, dtype=self.dtype, name=f"layers_{i}")(
                 hidden, attention_bias, positions
             )
         return RMSNorm(

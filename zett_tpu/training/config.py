@@ -52,3 +52,7 @@ class TrainingConfig:
     # single-chip batch ceiling at 32k vocab). 0 = off; typical 16-32.
     # CLM + linear-head families (gpt2/llama/mistral/gemma/xglm) only.
     loss_chunk_size: int = 0
+    # rematerialize each backbone block in the backward pass (gpt2/llama
+    # families): drops the per-layer activations that bound the LM batch
+    # once loss_chunk_size removed the logits
+    remat_backbone: bool = False

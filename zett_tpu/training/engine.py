@@ -70,8 +70,9 @@ class Trainer:
         # (static shape; reference mutates config.vocab_size, train.py:1346)
         self.backbone_config = backbone_config
         self.backbone, _ = build_model(model_type, config=backbone_config, dtype=self.dtype)
-        spliced_cfg = dataclasses.replace(backbone_config, vocab_size=vocab_batch_size)
-        self.spliced_backbone, _ = build_model(model_type, config=spliced_cfg, dtype=self.dtype)
+        self.spliced_backbone, _ = build_model(
+            model_type, config=self._spliced_config(vocab_batch_size), dtype=self.dtype
+        )
         self.vocab_batch_size = vocab_batch_size
 
         # pop embeddings from the backbone tree -> source embeddings
@@ -99,6 +100,15 @@ class Trainer:
         self._pretrained_hn_params = pretrained_hn_params
         self._build_state()
         self._jit_steps()
+
+    def _spliced_config(self, vocab_size: int):
+        """Backbone config for apply-time modules: per-batch vocab size, and
+        per-block rematerialization when remat_backbone is on (families
+        without the field silently ignore the flag)."""
+        cfg = dataclasses.replace(self.backbone_config, vocab_size=vocab_size)
+        if self.cfg.remat_backbone and hasattr(cfg, "remat_blocks"):
+            cfg = dataclasses.replace(cfg, remat_blocks=True)
+        return cfg
 
     # ------------------------------------------------------------------ state
     def _init_state_fn(self, rng, source, backbone_params):
@@ -230,9 +240,7 @@ class Trainer:
             mod = spliced_cache.get(vocab_size)
             if mod is None:
                 mod, _ = build_model(
-                    model_type,
-                    config=dataclasses.replace(backbone_config, vocab_size=vocab_size),
-                    dtype=dtype,
+                    model_type, config=self._spliced_config(vocab_size), dtype=dtype
                 )
                 spliced_cache[vocab_size] = mod
             return mod
@@ -308,9 +316,7 @@ class Trainer:
                 from ..models.backbones.registry import headless_model
 
                 mod = headless_model(
-                    model_type,
-                    dataclasses.replace(backbone_config, vocab_size=vocab_size),
-                    dtype=dtype,
+                    model_type, self._spliced_config(vocab_size), dtype=dtype
                 )
                 headless_cache[vocab_size] = mod
             return mod
