@@ -241,3 +241,64 @@ def test_remat_backbone_identical_losses():
         a.state, ma = a.train_step(a.state, a._device_batch(batch))
         b.state, mb = b.train_step(b.state, b._device_batch(batch))
         np.testing.assert_allclose(float(ma["loss"]), float(mb["loss"]), rtol=1e-6)
+
+
+def test_chunked_mlm_loss_matches_full():
+    """Chunked cross-entropy for the MLM (roberta-family) path: the
+    lm_head transform runs per chunk with the same flax modules; losses
+    match the full-logits path. XLM-R's 250k vocab is where the chunked
+    path matters most."""
+    from zett_tpu.models import HypernetConfig
+    from zett_tpu.models.backbones.roberta import RobertaConfig, RobertaForMaskedLM
+    from zett_tpu.training import Trainer, TrainingConfig
+
+    bb_cfg = RobertaConfig(
+        vocab_size=256, hidden_size=32, num_hidden_layers=1,
+        num_attention_heads=2, intermediate_size=64,
+        max_position_embeddings=40, layer_norm_eps=1e-5,
+    )
+    params = RobertaForMaskedLM(bb_cfg).init(
+        jax.random.PRNGKey(0), jnp.ones((1, 4), dtype=jnp.int32)
+    )["params"]
+    hn_cfg = HypernetConfig(
+        hidden_size=32, intermediate_size=64, num_hidden_layers=1,
+        num_attention_heads=2, max_position_embeddings=16, vocab_size=300,
+        pad_token_id=0, n_embd=32, hn_surface_maxlen=8,
+        hidden_dropout_prob=0.0, attention_dropout_prob=0.0,
+    )
+
+    def make(**kw):
+        return Trainer(
+            hn_config=hn_cfg, backbone_config=bb_cfg,
+            backbone_params=jax.tree_util.tree_map(np.array, params),
+            model_type="roberta",
+            train_config=TrainingConfig(
+                steps=2, learning_rate=1e-3, warmup_steps=1, logging_steps=10,
+                save_steps=0, eval_steps=0, loss="mlm", **kw),
+            vocab_batch_size=64,
+        )
+
+    a = make()
+    b = make(loss_chunk_size=4)
+    rng = np.random.default_rng(0)
+    B, L, V, M = 2, 16, 64, 8
+    for seed in range(2):
+        r = np.random.default_rng(seed)
+        labels = r.integers(0, V, size=(B, L)).astype(np.int32)
+        labels[r.random((B, L)) > 0.3] = -100  # MLM: most positions unlabeled
+        batch = {
+            "input_ids": r.integers(0, V, size=(B, L)).astype(np.int32),
+            "attention_mask": np.ones((B, L), dtype=np.int32),
+            "labels": labels,
+            "target_surface_forms": r.integers(1, 300, size=(V, M)).astype(np.int32),
+            "target_priors": np.zeros(V, dtype=np.float32),
+            "mask": np.ones(V, dtype=bool),
+            "ids_to_embed": np.arange(V).astype(np.int32),
+            "special_indices": np.array([0]),
+            "special_indices_in_reference": np.array([0]),
+            "lang_index": np.array(0),
+            "byte_lengths": r.integers(1, 8, size=(B, L)).astype(np.int32),
+        }
+        a.state, ma = a.train_step(a.state, a._device_batch(batch))
+        b.state, mb = b.train_step(b.state, b._device_batch(batch))
+        np.testing.assert_allclose(float(ma["loss"]), float(mb["loss"]), rtol=1e-6)

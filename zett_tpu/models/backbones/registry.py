@@ -98,11 +98,10 @@ def is_output_tied(model_type: str, config=None) -> bool:
 
 def headless_model(model_type: str, config, dtype=None):
     """(inner module, param-subtree key) computing final hidden states
-    WITHOUT the lm head — the chunked linear-cross-entropy path (training
-    engine) recomputes per-chunk logits from these so the full
-    (B, L, vocab) logit tensor never materializes. Returns None for
-    families whose head is not a plain (tied/untied) linear map (roberta's
-    MLM head has a dense+LN transform)."""
+    WITHOUT the lm head — the chunked-cross-entropy path (training engine)
+    recomputes per-chunk logits from these so the full (B, L, vocab) logit
+    tensor never materializes. Roberta's MLM head transform (dense -> gelu
+    -> LN) is applied per chunk by the engine with the same flax modules."""
     import jax.numpy as jnp
 
     dtype = dtype or jnp.float32
@@ -118,4 +117,8 @@ def headless_model(model_type: str, config, dtype=None):
         from .xglm import XGLMModel
 
         return XGLMModel(config, dtype=dtype), "model"
+    if model_type in ROBERTA_FAMILY:
+        from .roberta import RobertaModel
+
+        return RobertaModel(config, dtype=dtype), "roberta"
     return None

@@ -36,7 +36,7 @@ from ..parallel.sharding import (
     pspec_tree_ranked,
     shard_batch,
 )
-from .losses import chunked_clm_loss, lexical_loss, lm_loss
+from .losses import chunked_clm_loss, chunked_mlm_loss, lexical_loss, lm_loss
 from .optimizer import build_optimizer, get_labels
 from .schedules import create_learning_rate_fn
 from .state import TrainState
@@ -322,10 +322,10 @@ class Trainer:
             return mod
 
         def chunked_loss(params, batch, emb_in, emb_out, biases):
-            """CLM loss without materializing the (B, L, V) logits: spliced
+            """LM loss without materializing the (B, L, V) logits: spliced
             headless backbone -> final hidden states, then per-chunk logits
             against the predicted output embeddings inside a remat'd scan
-            (losses.chunked_clm_loss)."""
+            (losses.chunked_clm_loss / chunked_mlm_loss)."""
             mod, subtree = headless_for(int(emb_in.shape[0]))
             spliced = splice_embeddings(
                 params["inner"], model_type, emb_in, None, None
@@ -342,14 +342,33 @@ class Trainer:
                 offset = offset + biases.astype(jnp.float32)
             if cfg.add_target_priors_to_bias:
                 offset = offset + batch["target_priors"].astype(jnp.float32)
-            return chunked_clm_loss(
+            if cfg.loss == "clm":
+                return chunked_clm_loss(
+                    hidden, head_w, offset, batch["labels"],
+                    batch["attention_mask"], cfg.loss_chunk_size,
+                )
+            head_fn = None
+            if "lm_head_dense" in params["inner"]:
+                # roberta-family MLM pre-decoder transform, applied with the
+                # SAME flax modules as the full path (bit-equal)
+                from flax import linen as fnn
+
+                dense = fnn.Dense(backbone_config.hidden_size, dtype=dtype)
+                ln = fnn.LayerNorm(epsilon=backbone_config.layer_norm_eps)
+                inner = params["inner"]
+
+                def head_fn(h):
+                    h = dense.apply({"params": inner["lm_head_dense"]}, h)
+                    h = fnn.gelu(h, approximate=False)
+                    return ln.apply({"params": inner["lm_head_ln"]}, h)
+
+            return chunked_mlm_loss(
                 hidden, head_w, offset, batch["labels"],
-                batch["attention_mask"], cfg.loss_chunk_size,
+                batch["attention_mask"], cfg.loss_chunk_size, head_fn=head_fn,
             )
 
         use_chunked = (
             cfg.loss_chunk_size > 0
-            and cfg.loss == "clm"
             and headless_for(self.vocab_batch_size) is not None
         )
 

@@ -53,6 +53,43 @@ def chunked_clm_loss(hidden, head_w, logit_offset, labels, attention_mask,
     return total / jnp.maximum(m.sum(), 1)
 
 
+def chunked_mlm_loss(hidden, head_w, logit_offset, labels, attention_mask,
+                     chunk_size: int, head_fn=None):
+    """MLM counterpart of chunked_clm_loss (no position shift; -100 labels
+    masked). `head_fn` applies the family's pre-decoder transform per chunk
+    (roberta: dense -> gelu -> LayerNorm) so the full transformed tensor
+    never materializes either. XLM-R's 250k vocab makes the logit tensor
+    ~8x the CLM case — this is where chunking matters most."""
+    B, L, H = hidden.shape
+    m = ((labels != -100) & (attention_mask == 1)).astype(jnp.float32)
+    y = jnp.maximum(labels, 0)
+    h = hidden
+    pad = (-L) % chunk_size
+    if pad:
+        h = jnp.pad(h, ((0, 0), (0, pad), (0, 0)))
+        y = jnp.pad(y, ((0, 0), (0, pad)))
+        m = jnp.pad(m, ((0, 0), (0, pad)))
+    n_chunks = (L + pad) // chunk_size
+    hs = h.reshape(B, n_chunks, chunk_size, H).transpose(1, 0, 2, 3)
+    ys = y.reshape(B, n_chunks, chunk_size).transpose(1, 0, 2)
+    ms = m.reshape(B, n_chunks, chunk_size).transpose(1, 0, 2)
+
+    @jax.checkpoint
+    def chunk_ce(h_c, y_c, m_c):
+        t = head_fn(h_c) if head_fn is not None else h_c
+        logits = (t @ head_w.T.astype(t.dtype)).astype(jnp.float32)
+        logits = logits + logit_offset.astype(jnp.float32)[None, None, :]
+        ce = optax.softmax_cross_entropy_with_integer_labels(logits, y_c)
+        return (ce * m_c).sum()
+
+    def body(acc, xs):
+        h_c, y_c, m_c = xs
+        return acc + chunk_ce(h_c, y_c, m_c), None
+
+    total, _ = jax.lax.scan(body, jnp.float32(0.0), (hs, ys, ms))
+    return total / jnp.maximum(m.sum(), 1)
+
+
 def lm_loss(logits, labels, attention_mask, loss_mode: str, byte_lengths=None, with_bpb=False):
     if loss_mode == "clm":
         shift_logits = logits[..., :-1, :]
