@@ -26,6 +26,9 @@ class RobertaConfig:
     max_position_embeddings: int = 514
     type_vocab_size: int = 1
     layer_norm_eps: float = 1e-5
+    # rematerialize each layer in the backward pass (set by the engine from
+    # TrainingConfig.remat_backbone)
+    remat_blocks: bool = False
     pad_token_id: int = 1
 
     @classmethod
@@ -101,8 +104,9 @@ class RobertaModel(nn.Module):
         attention_bias = jnp.where(
             attention_mask[:, None, None, :].astype(bool), 0.0, jnp.finfo(jnp.float32).min
         )
+        Layer = nn.remat(RobertaLayer) if cfg.remat_blocks else RobertaLayer
         for i in range(cfg.num_hidden_layers):
-            hidden = RobertaLayer(cfg, dtype=self.dtype, name=f"layer_{i}")(hidden, attention_bias)
+            hidden = Layer(cfg, dtype=self.dtype, name=f"layer_{i}")(hidden, attention_bias)
         return hidden
 
 

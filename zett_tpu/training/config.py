@@ -50,9 +50,10 @@ class TrainingConfig:
     # from the final hidden states inside a rematerialized scan, so the
     # (B, L, vocab) logit/grad pair never materializes (that pair is the
     # single-chip batch ceiling at 32k vocab). 0 = off; typical 16-32.
-    # CLM + linear-head families (gpt2/llama/mistral/gemma/xglm) only.
+    # CLM (gpt2/llama/mistral/gemma/xglm) and MLM (roberta/xlm-roberta,
+    # per-chunk lm_head transform) families.
     loss_chunk_size: int = 0
-    # rematerialize each backbone block in the backward pass (gpt2/llama
-    # families): drops the per-layer activations that bound the LM batch
-    # once loss_chunk_size removed the logits
+    # rematerialize each backbone block in the backward pass (gpt2/llama/
+    # roberta families): drops the per-layer activations that bound the LM
+    # batch once loss_chunk_size removed the logits
     remat_backbone: bool = False
