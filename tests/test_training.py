@@ -302,3 +302,42 @@ def test_chunked_mlm_loss_matches_full():
         a.state, ma = a.train_step(a.state, a._device_batch(batch))
         b.state, mb = b.train_step(b.state, b._device_batch(batch))
         np.testing.assert_allclose(float(ma["loss"]), float(mb["loss"]), rtol=1e-6)
+
+
+def test_chunked_loss_under_mesh():
+    """The chunked-CE + remat flags must compile and run under the real
+    (data, model) mesh shardings (GSPMD splits the per-chunk logits over
+    the vocab axis on pods — this is the multi-chip production shape)."""
+    from tests_helpers_trainer import V_BATCH, make_batch
+    from zett_tpu.models import HypernetConfig
+    from zett_tpu.models.backbones.gpt2 import GPT2Config, GPT2LMHeadModel
+    from zett_tpu.parallel import make_mesh
+    from zett_tpu.training import Trainer, TrainingConfig
+
+    bb_cfg = GPT2Config(vocab_size=256, n_positions=32, n_embd=32, n_layer=1, n_head=2)
+    params = GPT2LMHeadModel(bb_cfg).init(
+        jax.random.PRNGKey(0), jnp.ones((1, 4), dtype=jnp.int32)
+    )["params"]
+    hn_cfg = HypernetConfig(
+        hidden_size=32, intermediate_size=64, num_hidden_layers=1,
+        num_attention_heads=2, max_position_embeddings=16, vocab_size=300,
+        pad_token_id=0, n_embd=32, hn_surface_maxlen=8,
+        hidden_dropout_prob=0.0, attention_dropout_prob=0.0,
+    )
+    mesh = make_mesh(n_data=4, n_model=2)
+    trainer = Trainer(
+        hn_config=hn_cfg, backbone_config=bb_cfg, backbone_params=params,
+        model_type="gpt2",
+        train_config=TrainingConfig(
+            steps=2, learning_rate=1e-3, warmup_steps=1, logging_steps=10,
+            save_steps=0, eval_steps=0, loss_chunk_size=4,
+            remat_hypernet=True, remat_backbone=True,
+        ),
+        vocab_batch_size=V_BATCH, mesh=mesh,
+    )
+    batch = make_batch(0, B=8)
+    with mesh:
+        trainer.state, metrics = trainer.train_step(
+            trainer.state, trainer._device_batch(batch)
+        )
+    assert np.isfinite(float(metrics["loss"]))
