@@ -304,10 +304,43 @@ def test_chunked_mlm_loss_matches_full():
         np.testing.assert_allclose(float(ma["loss"]), float(mb["loss"]), rtol=1e-6)
 
 
+def test_chunked_eval_matches_full_clm():
+    """eval_step with loss_chunk_size set computes loss AND bpb through the
+    chunked kernels (advisor r3: eval used to materialize full logits even
+    when chunking was on) — metrics must match the full-logits eval."""
+    from tests_helpers_trainer import make_batch, make_tiny_trainer
+
+    a = make_tiny_trainer()
+    b = make_tiny_trainer(loss_chunk_size=4)
+    for seed in range(2):
+        batch = make_batch(seed)
+        ma = a.eval_step(a.state, a._device_batch(batch))
+        mb = b.eval_step(b.state, b._device_batch(batch))
+        np.testing.assert_allclose(
+            float(ma["eval_loss"]), float(mb["eval_loss"]), rtol=1e-6
+        )
+        np.testing.assert_allclose(
+            float(ma["eval_bpb"]), float(mb["eval_bpb"]), rtol=1e-6
+        )
+    # cached-embedding eval path (fixed-tokenizer loop) too
+    batch = make_batch(0)
+    da, db = a._device_batch(batch), b._device_batch(batch)
+    ea = a.compute_embeddings(a.state, da)
+    eb = b.compute_embeddings(b.state, db)
+    ma = a.eval_step_cached(a.state, da, *ea)
+    mb = b.eval_step_cached(b.state, db, *eb)
+    np.testing.assert_allclose(
+        float(ma["eval_loss"]), float(mb["eval_loss"]), rtol=1e-6
+    )
+
+
 def test_chunked_loss_under_mesh():
-    """The chunked-CE + remat flags must compile and run under the real
-    (data, model) mesh shardings (GSPMD splits the per-chunk logits over
-    the vocab axis on pods — this is the multi-chip production shape)."""
+    """The chunked-CE + remat flags under the real (data, model) mesh
+    shardings (GSPMD splits the per-chunk logits over the vocab axis on
+    pods — the multi-chip production shape) must produce the SAME loss as
+    the single-device chunked step: a silent numeric divergence from GSPMD
+    splitting the rematerialized vocab scan is exactly what this guards
+    (reference gets the invariant implicitly, train.py:1285-1293)."""
     from tests_helpers_trainer import V_BATCH, make_batch
     from zett_tpu.models import HypernetConfig
     from zett_tpu.models.backbones.gpt2 import GPT2Config, GPT2LMHeadModel
@@ -324,20 +357,80 @@ def test_chunked_loss_under_mesh():
         pad_token_id=0, n_embd=32, hn_surface_maxlen=8,
         hidden_dropout_prob=0.0, attention_dropout_prob=0.0,
     )
+    train_kw = dict(
+        steps=2, learning_rate=1e-3, warmup_steps=1, logging_steps=10,
+        save_steps=0, eval_steps=0, loss_chunk_size=4,
+        remat_hypernet=True, remat_backbone=True,
+    )
     mesh = make_mesh(n_data=4, n_model=2)
     trainer = Trainer(
         hn_config=hn_cfg, backbone_config=bb_cfg, backbone_params=params,
-        model_type="gpt2",
-        train_config=TrainingConfig(
-            steps=2, learning_rate=1e-3, warmup_steps=1, logging_steps=10,
-            save_steps=0, eval_steps=0, loss_chunk_size=4,
-            remat_hypernet=True, remat_backbone=True,
-        ),
+        model_type="gpt2", train_config=TrainingConfig(**train_kw),
         vocab_batch_size=V_BATCH, mesh=mesh,
     )
-    batch = make_batch(0, B=8)
-    with mesh:
-        trainer.state, metrics = trainer.train_step(
-            trainer.state, trainer._device_batch(batch)
+    single = Trainer(
+        hn_config=hn_cfg, backbone_config=bb_cfg,
+        backbone_params=jax.tree_util.tree_map(np.array, params),
+        model_type="gpt2", train_config=TrainingConfig(**train_kw),
+        vocab_batch_size=V_BATCH,
+    )
+    for seed in range(2):
+        batch = make_batch(seed, B=8)
+        with mesh:
+            trainer.state, metrics = trainer.train_step(
+                trainer.state, trainer._device_batch(batch)
+            )
+        single.state, m_single = single.train_step(
+            single.state, single._device_batch(batch)
         )
-    assert np.isfinite(float(metrics["loss"]))
+        np.testing.assert_allclose(
+            float(metrics["loss"]), float(m_single["loss"]), rtol=1e-6
+        )
+
+
+def test_chunked_clm_loss_untied_llama():
+    """Chunked CE for an UNTIED-output family (llama/mistral): the headless
+    splice must not require emb_out at the lm-head leaf (advisor r3 high:
+    loss_chunk_size>0 crashed at trace time for every untied family), and
+    the loss must match the full-logits path bit-for-bit in trajectory."""
+    from zett_tpu.models import HypernetConfig
+    from zett_tpu.models.backbones.llama import LlamaConfig, LlamaForCausalLM
+    from zett_tpu.training import Trainer, TrainingConfig
+
+    bb_cfg = LlamaConfig(
+        vocab_size=256, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=1, num_attention_heads=2,
+        max_position_embeddings=32, tie_word_embeddings=False,
+        model_type="mistral",
+    )
+    params = LlamaForCausalLM(bb_cfg).init(
+        jax.random.PRNGKey(0), jnp.ones((1, 4), dtype=jnp.int32)
+    )["params"]
+    hn_cfg = HypernetConfig(
+        hidden_size=32, intermediate_size=64, num_hidden_layers=1,
+        num_attention_heads=2, max_position_embeddings=16, vocab_size=300,
+        pad_token_id=0, n_embd=32, hn_surface_maxlen=8,
+        hidden_dropout_prob=0.0, attention_dropout_prob=0.0,
+        separate_out_embeddings=True,
+    )
+
+    def make(**kw):
+        return Trainer(
+            hn_config=hn_cfg, backbone_config=bb_cfg,
+            backbone_params=jax.tree_util.tree_map(np.array, params),
+            model_type="mistral",
+            train_config=TrainingConfig(
+                steps=2, learning_rate=1e-3, warmup_steps=1, logging_steps=10,
+                save_steps=0, eval_steps=0, **kw),
+            vocab_batch_size=64,
+        )
+
+    a = make()
+    b = make(loss_chunk_size=4, remat_hypernet=True)
+    from tests_helpers_trainer import make_batch
+
+    for seed in range(2):
+        batch = make_batch(seed)
+        a.state, ma = a.train_step(a.state, a._device_batch(batch))
+        b.state, mb = b.train_step(b.state, b._device_batch(batch))
+        np.testing.assert_allclose(float(ma["loss"]), float(mb["loss"]), rtol=1e-6)

@@ -72,10 +72,22 @@ def score_loglikelihoods(
 
     results: List[Dict[str, float]] = []
     jit_apply = jax.jit(apply_fn)
+
+    def bucket_width(n: int) -> int:
+        # pad every batch to a power-of-2 bucket so the jitted apply
+        # compiles O(log max_length) times, not once per distinct batch
+        # width (advisor r3: long tasks recompiled on nearly every batch)
+        w = 32
+        while w < n:
+            w *= 2
+        return min(w, max(max_length, n))
+
     for lo in range(0, len(encoded), batch_size):
         chunk = encoded[lo : lo + batch_size]
-        width = max(len(ids) for ids, _, _ in chunk)
-        batch = np.zeros((len(chunk), width), dtype=np.int32)
+        width = bucket_width(max(len(ids) for ids, _, _ in chunk))
+        # fixed row count as well: the final partial batch must not compile
+        # its own program (padded rows are simply never read back)
+        batch = np.zeros((batch_size, width), dtype=np.int32)
         for r, (ids, _, _) in enumerate(chunk):
             batch[r, : len(ids)] = ids
         logits = np.asarray(

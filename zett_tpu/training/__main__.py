@@ -73,6 +73,11 @@ def main(argv=None):
         p.add_argument("--batch-size", dest="batch_size", type=int, default=128)
         p.add_argument("--num-workers", type=int, default=0)
         p.add_argument("--langs", nargs="*", default=["en"])
+        p.add_argument(
+            "--tracker", default=None, choices=["wandb", "tensorboard", "none"],
+            help="mirror metrics.jsonl to an experiment tracker (no-op if the "
+            "library is not installed; reference: wandb, train.py:1297-1305)",
+        )
         args = p.parse_args(argv)
         dist_args = args
         config = {}
@@ -363,10 +368,24 @@ def run_training(config: dict, run_name: str = "run"):
 
     metrics_path = os.path.join(train_cfg.output_dir, "metrics.jsonl")
 
+    # optional tracker mirrors the same dict as metrics.jsonl (process 0
+    # only, like the reference's wandb hook, train.py:1297-1305)
+    from ..utils.tracking import build_tracker
+
+    tracker = (
+        build_tracker(
+            config.get("tracker"), run_name=run_name, config=config,
+            log_dir=os.path.join(train_cfg.output_dir, "tb"),
+        )
+        if jax.process_index() == 0
+        else build_tracker(None)
+    )
+
     def on_log(step, metrics):
         if jax.process_index() == 0:
             with open(metrics_path, "a") as f:
                 f.write(json.dumps({"run": run_name, **metrics}) + "\n")
+            tracker.log(step, metrics)
             print(f"step {step}: " + " ".join(f"{k}={v:.4g}" for k, v in metrics.items()
                                               if isinstance(v, (int, float))))
 
@@ -430,6 +449,7 @@ def run_training(config: dict, run_name: str = "run"):
         os.path.join(train_cfg.output_dir, "final"), full_state=train_cfg.save_state
     )
     hn_tokenizer.save(os.path.join(train_cfg.output_dir, "final", "tokenizer.json"))
+    tracker.finish()
     return trainer, history
 
 

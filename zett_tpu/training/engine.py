@@ -321,20 +321,26 @@ class Trainer:
                 headless_cache[vocab_size] = mod
             return mod
 
-        def chunked_loss(params, batch, emb_in, emb_out, biases):
-            """LM loss without materializing the (B, L, V) logits: spliced
-            headless backbone -> final hidden states, then per-chunk logits
-            against the predicted output embeddings inside a remat'd scan
-            (losses.chunked_clm_loss / chunked_mlm_loss)."""
+        def headless_hidden(params, batch, emb_in, emb_out):
+            """Spliced headless backbone -> (final hidden states, head
+            weights). Untied families (llama/mistral/...) require an
+            out-embedding leaf in the splice; the headless subtree excludes
+            lm_head so the spliced leaf is never read — the chunked logits
+            use head_w (advisor r3 fix: loss_chunk_size>0 crashed at trace
+            time for every untied family)."""
             mod, subtree = headless_for(int(emb_in.shape[0]))
             spliced = splice_embeddings(
-                params["inner"], model_type, emb_in, None, None
+                params["inner"], model_type, emb_in,
+                emb_out if not out_tied else None, None,
             )
             hidden = mod.apply(
                 {"params": spliced[subtree]},
                 batch["input_ids"], batch["attention_mask"],
             )
             head_w = emb_out if (not out_tied and emb_out is not None) else emb_in
+            return hidden, head_w
+
+        def logit_offset(batch, biases):
             offset = jnp.where(
                 batch["mask"], 0.0, NEGATIVE_INF_FILL_VALUE
             ).astype(jnp.float32)
@@ -342,30 +348,65 @@ class Trainer:
                 offset = offset + biases.astype(jnp.float32)
             if cfg.add_target_priors_to_bias:
                 offset = offset + batch["target_priors"].astype(jnp.float32)
+            return offset
+
+        def mlm_head_fn(params):
+            if "lm_head_dense" not in params["inner"]:
+                return None
+            # roberta-family MLM pre-decoder transform, applied with the
+            # SAME flax modules as the full path (bit-equal)
+            from flax import linen as fnn
+
+            dense = fnn.Dense(backbone_config.hidden_size, dtype=dtype)
+            ln = fnn.LayerNorm(epsilon=backbone_config.layer_norm_eps)
+            inner = params["inner"]
+
+            def head_fn(h):
+                h = dense.apply({"params": inner["lm_head_dense"]}, h)
+                h = fnn.gelu(h, approximate=False)
+                return ln.apply({"params": inner["lm_head_ln"]}, h)
+
+            return head_fn
+
+        def chunked_loss(params, batch, emb_in, emb_out, biases):
+            """LM loss without materializing the (B, L, V) logits: spliced
+            headless backbone -> final hidden states, then per-chunk logits
+            against the predicted output embeddings inside a remat'd scan
+            (losses.chunked_clm_loss / chunked_mlm_loss)."""
+            hidden, head_w = headless_hidden(params, batch, emb_in, emb_out)
+            offset = logit_offset(batch, biases)
             if cfg.loss == "clm":
                 return chunked_clm_loss(
                     hidden, head_w, offset, batch["labels"],
                     batch["attention_mask"], cfg.loss_chunk_size,
                 )
-            head_fn = None
-            if "lm_head_dense" in params["inner"]:
-                # roberta-family MLM pre-decoder transform, applied with the
-                # SAME flax modules as the full path (bit-equal)
-                from flax import linen as fnn
-
-                dense = fnn.Dense(backbone_config.hidden_size, dtype=dtype)
-                ln = fnn.LayerNorm(epsilon=backbone_config.layer_norm_eps)
-                inner = params["inner"]
-
-                def head_fn(h):
-                    h = dense.apply({"params": inner["lm_head_dense"]}, h)
-                    h = fnn.gelu(h, approximate=False)
-                    return ln.apply({"params": inner["lm_head_ln"]}, h)
-
             return chunked_mlm_loss(
                 hidden, head_w, offset, batch["labels"],
-                batch["attention_mask"], cfg.loss_chunk_size, head_fn=head_fn,
+                batch["attention_mask"], cfg.loss_chunk_size,
+                head_fn=mlm_head_fn(params),
             )
+
+        def chunked_eval_metrics(params, batch, emb_in, emb_out, biases):
+            """Forward-only chunked eval (advisor r3: the eval path used to
+            materialize full logits even with loss_chunk_size set, OOMing at
+            exactly the shapes chunking was added for)."""
+            from .losses import chunked_clm_eval, chunked_mlm_eval
+
+            hidden, head_w = headless_hidden(params, batch, emb_in, emb_out)
+            offset = logit_offset(batch, biases)
+            if cfg.loss == "clm":
+                loss, bpb = chunked_clm_eval(
+                    hidden, head_w, offset, batch["labels"],
+                    batch["attention_mask"], batch["byte_lengths"],
+                    cfg.loss_chunk_size,
+                )
+                return {"eval_loss": loss, "eval_bpb": bpb}
+            loss, acc = chunked_mlm_eval(
+                hidden, head_w, offset, batch["labels"],
+                batch["attention_mask"], cfg.loss_chunk_size,
+                head_fn=mlm_head_fn(params),
+            )
+            return {"eval_loss": loss, "eval_accuracy": acc}
 
         use_chunked = (
             cfg.loss_chunk_size > 0
@@ -448,22 +489,17 @@ class Trainer:
 
         def eval_step(state, batch):
             dropout_rng = state.dropout_rng
+            if use_chunked:
+                emb_in, emb_out, biases = compute_embeddings(
+                    state, state.params, batch, dropout_rng
+                )
+                return chunked_eval_metrics(
+                    state.params, batch, emb_in, emb_out, biases
+                )
             _, _, logits = compute_embeddings_and_logits(
                 state, state.params, batch, dropout_rng
             )
-            logits = logits.astype(jnp.float32)
-            if cfg.loss == "clm":
-                loss, bpb = lm_loss(
-                    logits, batch["labels"], batch["attention_mask"], "clm",
-                    byte_lengths=batch["byte_lengths"], with_bpb=True,
-                )
-                return {"eval_loss": loss, "eval_bpb": bpb}
-            loss = lm_loss(logits, batch["labels"], batch["attention_mask"], "mlm")
-            label_mask = (batch["labels"] != -100) & (batch["attention_mask"] == 1)
-            acc = (
-                (logits.argmax(-1) == batch["labels"]) & label_mask
-            ).sum() / jnp.maximum(label_mask.sum(), 1)
-            return {"eval_loss": loss, "eval_accuracy": acc}
+            return eval_metrics_from_logits(logits, batch)
 
         def eval_metrics_from_logits(logits, batch):
             logits = logits.astype(jnp.float32)
@@ -484,6 +520,10 @@ class Trainer:
             """Eval with precomputed hypernet embeddings — the fixed-tokenizer
             eval loop computes the vocab forward ONCE and reuses it across
             batches (reference: train.py:1354-1358)."""
+            if use_chunked:
+                return chunked_eval_metrics(
+                    state.params, batch, emb_in, emb_out, biases
+                )
             logits = splice_and_logits(state.params, batch, emb_in, emb_out, biases)
             return eval_metrics_from_logits(logits, batch)
 
