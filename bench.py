@@ -433,6 +433,112 @@ def bench_hypernet(vocab=32768, maxlen=16, hidden=768, layers=3, lengths=None):
     }
 
 
+def bench_transfer_250k(vocab=250_000, maxlen=16, batch=16384,
+                        hidden=768, layers=3):
+    """BASELINE config #4 shape on the real chip: a 250k-token vocab
+    transfer at the reference's batch 16384 (scripts/transfer.py:44),
+    through the REAL batched_inference path. Three measurements:
+
+      serial     — drain each dispatch before the next (pre-r4 behavior)
+      pipelined  — batched_inference's depth-2 in-flight queue
+      ideal      — all batches inside ONE jitted scan (zero per-batch
+                   dispatch; the device-only floor)
+
+    dispatch_overhead_pct = (pipelined - ideal) / pipelined; the r3 verdict
+    target is <5% (~16 x 25 ms unamortized before)."""
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from zett_tpu.models import Hypernet, HypernetConfig
+    from zett_tpu.transfer.core import batched_inference
+
+    cfg = HypernetConfig(
+        hidden_size=hidden, intermediate_size=hidden * 2,
+        num_hidden_layers=layers, num_attention_heads=hidden // 64,
+        max_position_embeddings=maxlen + 2, vocab_size=4096, pad_token_id=0,
+        n_embd=hidden, hn_surface_maxlen=maxlen,
+        separate_out_embeddings=True,
+        hidden_dropout_prob=0.0, attention_dropout_prob=0.0,
+    )
+    hn = Hypernet(cfg, dtype=jnp.bfloat16)
+    rng = np.random.default_rng(0)
+    sf = rng.integers(1, 4096, size=(vocab, maxlen)).astype(np.int32)
+    sf[rng.random((vocab, maxlen)) > 0.5] = 0  # realistic pad mix
+    sf[:, 0] = np.maximum(sf[:, 0], 1)
+    priors = np.zeros(vocab, np.float32)
+
+    cpu = jax.local_devices(backend="cpu")[0]
+    with jax.default_device(cpu):
+        params = hn.init(
+            jax.random.PRNGKey(0), jnp.asarray(sf[:8]),
+            jnp.asarray(priors[:8]),
+        )
+    params = jax.device_put(params, jax.devices()[0])
+    jax.block_until_ready(params)
+
+    @jax.jit
+    def predict(p, s, pr):
+        return hn.apply(p, s, pr)
+
+    def predict_fn(s, pr, _src, _lidx):
+        return predict(params, s, pr)
+
+    def run(pipelined: bool):
+        # depth-1 drain = the serial pre-r4 behavior; monkey-level switch
+        # via batch ordering is identical, so emulate serial by draining
+        # through a wrapper that blocks immediately
+        if pipelined:
+            fn = predict_fn
+        else:
+            def fn(s, pr, a, b):
+                out = predict_fn(s, pr, a, b)
+                jax.device_get(out[0])  # force the serialization point
+                return out
+        t0 = time.time()
+        batched_inference(
+            fn, sf, priors, None, 0, batch_size=batch,
+            bucket_multiple=0, rng=np.random.default_rng(7),
+        )
+        return (time.time() - t0) * 1000
+
+    run(True)  # compile
+    ms_pipelined = min(run(True) for _ in range(3))
+    ms_serial = min(run(False) for _ in range(2))
+
+    # ideal: one dispatch, scan over all full batches
+    n_batches = vocab // batch
+    sf_s = jnp.asarray(sf[: n_batches * batch].reshape(n_batches, batch, maxlen))
+    pr_s = jnp.asarray(priors[: n_batches * batch].reshape(n_batches, batch))
+
+    @jax.jit
+    def fwd_all(p, s4, p4):
+        def body(_, xs):
+            ss, pp = xs
+            return None, hn.apply(p, ss, pp)[0].sum()
+        _, outs = jax.lax.scan(body, None, (s4, p4))
+        return outs.sum().astype(jnp.float32)
+
+    float(fwd_all(params, sf_s, pr_s))  # compile
+    ms_ideal = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        float(fwd_all(params, sf_s, pr_s))
+        ms_ideal = min(ms_ideal, (time.time() - t0) * 1000)
+
+    return {
+        "transfer_250k_ms_pipelined": round(ms_pipelined, 1),
+        "transfer_250k_ms_serial": round(ms_serial, 1),
+        "transfer_250k_ms_ideal_one_dispatch": round(ms_ideal, 1),
+        "transfer_250k_rows_per_s": round(vocab / (ms_pipelined / 1000), 1),
+        "transfer_250k_dispatch_overhead_pct": round(
+            100.0 * (ms_pipelined - ms_ideal) / max(ms_pipelined, 1e-9), 2
+        ),
+        "transfer_250k_batches": int(np.ceil(vocab / batch)),
+    }
+
+
 def main():
     texts = make_corpus()
     retok = bench_retokenize(texts)
@@ -448,6 +554,10 @@ def main():
         hyper = bench_hypernet(lengths=lengths)
     except Exception as e:  # noqa: BLE001 - bench must still print its line
         hyper = {"hypernet_ms_per_32k_vocab": None, "device": f"error: {e}"}
+    try:
+        transfer250 = bench_transfer_250k()
+    except Exception as e:  # noqa: BLE001
+        transfer250 = {"transfer_250k_error": str(e)[:160]}
 
     result = {
         "metric": "bytes/s/chip retokenize (noisy-sampled 32k Unigram vocab)",
@@ -473,6 +583,7 @@ def main():
             if device_retok.get("device_retokenize_effective_bytes_per_s")
             else None
         ),
+        **transfer250,
         "device": hyper["device"],
     }
     print(json.dumps(result))

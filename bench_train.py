@@ -25,6 +25,83 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+SWEEP = [
+    # (batch, remat_hypernet, loss_chunk, remat_backbone) — the full lever
+    # grid; every number quoted in PARITY.md §Measured must trace to the
+    # committed train_step_bench.json this emits
+    (128, False, 0, False),
+    (128, True, 0, False),
+    (128, True, 16, False),
+    (128, True, 16, True),
+    (256, False, 0, False),
+    (256, True, 0, False),
+    (256, True, 16, False),
+    (256, True, 16, True),
+    (512, False, 0, False),
+    (512, True, 0, False),
+    (512, True, 16, False),
+    (512, True, 16, True),
+    (1024, False, 0, False),
+    (1024, True, 0, False),
+    (1024, True, 16, False),
+    (1024, True, 16, True),
+]
+
+
+def run_sweep(steps: int):
+    """Each config in its own subprocess (the chip is single-user, so these
+    serialize; a config that OOMs records an error row instead of killing
+    the sweep). Writes the whole table to train_step_bench.json."""
+    import subprocess
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    rows = []
+    for batch, remat, chunk, remat_bb in SWEEP:
+        cmd = [sys.executable, os.path.abspath(__file__),
+               "--steps", str(steps), "--batch", str(batch)]
+        if remat:
+            cmd.append("--remat")
+        if chunk:
+            cmd += ["--loss-chunk", str(chunk)]
+        if remat_bb:
+            cmd.append("--remat-backbone")
+        t0 = time.time()
+        proc = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
+        line = next((l for l in reversed(proc.stdout.splitlines())
+                     if l.startswith("{")), None)
+        if proc.returncode == 0 and line:
+            rows.append(json.loads(line))
+        else:
+            rows.append({
+                "batch": batch, "remat_hypernet": remat,
+                "loss_chunk_size": chunk, "remat_backbone": remat_bb,
+                "error": (proc.stderr.strip().splitlines() or ["crashed"])[-1][:200],
+            })
+        r = rows[-1]
+        print(f"# batch={batch} remat={remat} chunk={chunk} remat_bb={remat_bb}: "
+              + (f"{r['step_ms']} ms, {r['tokens_per_s']:.0f} tok/s"
+                 if "step_ms" in r else f"ERROR {r['error']}"),
+              file=sys.stderr)
+    default_row = next(
+        (r for r in rows if r.get("batch") == 128 and not r.get("remat_hypernet")
+         and not r.get("loss_chunk_size") and not r.get("remat_backbone")
+         and "step_ms" in r),
+        None,
+    )
+    out = {
+        "metric": "train step ms (gpt2-small shape, 32k vocab rows)",
+        **{k: v for k, v in (default_row or {}).items() if k != "metric"},
+        "sweep": rows,
+    }
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "experiments", "results", "train_step_bench.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps({"sweep_rows": len(rows),
+                      "ok": sum(1 for r in rows if "step_ms" in r)}))
+    return out
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--small", action="store_true",
@@ -38,7 +115,13 @@ def main(argv=None):
                     help="chunked linear-CE position-chunk size (0 = full logits)")
     ap.add_argument("--batch", type=int, default=0,
                     help="override the LM batch size")
+    ap.add_argument("--sweep", action="store_true",
+                    help="run the full {batch} x {levers} grid, one subprocess "
+                    "each, and write the table to train_step_bench.json")
     args = ap.parse_args(argv)
+
+    if args.sweep:
+        return run_sweep(args.steps)
 
     import numpy as np
 
@@ -146,11 +229,8 @@ def main(argv=None):
         "device": str(jax.devices()[0]),
     }
     print(json.dumps(result))
-    if not args.small and not args.remat and not args.loss_chunk and not args.batch and not args.remat_backbone:
-        out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "experiments", "results", "train_step_bench.json")
-        with open(out, "w") as f:
-            json.dump(result, f, indent=1)
+    # train_step_bench.json is written by --sweep (the table of record);
+    # single runs only print their row
     return result
 
 

@@ -90,11 +90,20 @@ def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--vocab-sizes", nargs="*", type=int, default=[32768, 50000])
     ap.add_argument("--n-heldout", type=int, default=400)
+    ap.add_argument("--corpus", choices=["big", "all"], default="all",
+                    help="big = the 6 MB mixed fixture; all = every committed "
+                    "corpus fixture concatenated (~22 MB en/de/code) — large "
+                    "enough to support full 32k/50k vocabs (VERDICT r3 item 6)")
     args = ap.parse_args(argv)
 
     from fixtures import _make_big_corpus
 
     corpus = _make_big_corpus()
+    if args.corpus == "all":
+        corpora_dir = os.path.join(REPO, "tests", ".cache", "corpora")
+        for name in sorted(os.listdir(corpora_dir)):
+            with open(os.path.join(corpora_dir, name)) as f:
+                corpus.extend(l.rstrip("\n") for l in f if l.strip())
     held_out = corpus[:: len(corpus) // args.n_heldout][: args.n_heldout]
     held_set = set(held_out)
     train = [t for t in corpus if t not in held_set]
@@ -164,18 +173,19 @@ def main(argv=None):
 
 def _write_md(results, path):
     lines = [
-        "# Native Unigram-EM trainer vs HF UnigramTrainer (VERDICT r2 item 7)",
+        "# Native Unigram-EM trainer vs HF UnigramTrainer (VERDICT r2 item 7 / r3 item 6)",
         "",
-        "Same 6 MB mixed corpus (`tests/fixtures.py _make_big_corpus`), same",
-        "byte-level setup, same vocab size; held-out texts never seen by either",
-        "trainer. The external oracle is HF `tokenizers`' UnigramTrainer",
-        "(sentencepiece, the reference's trainer at scripts/make_spm.py:44-51,",
-        "is not installed offline; HF's is the same Unigram-EM family).",
+        "Same ~22 MB mixed corpus (the 6 MB `_make_big_corpus` fixture plus",
+        "every committed corpus file, en/de/code), same byte-level setup, same",
+        "vocab size; held-out texts never seen by either trainer. The external",
+        "oracle is HF `tokenizers`' UnigramTrainer (sentencepiece, the",
+        "reference's trainer at scripts/make_spm.py:44-51, is not installed",
+        "offline; HF's is the same Unigram-EM family).",
         "Reproduce: `python experiments/unigram_headtohead.py`.",
         "",
-        "Both trainers emit at most the requested vocab — never more pieces",
-        "than the corpus supports — so the emitted sizes differ; compression",
-        "and LL are per-byte and vocab-size-agnostic.",
+        "r4: pruning is likelihood-loss-based (sentencepiece's criterion) and",
+        "the M-step floors expected counts at the digamma-safe threshold, so",
+        "the trainer now FILLS the requested vocab (r3 emitted only 56-66%).",
         "",
         "| requested | trainer | emitted vocab | tokens/byte ↓ | unigram LL/byte ↑ | train time |",
         "|---|---|---|---|---|---|",

@@ -137,7 +137,73 @@ class ProjectorBlock(nn.Module):
         return nn.LayerNorm(dtype=self.dtype, name="ln")(nn.gelu(h) + x)
 
 
-def _attention(q, k, v, bias, num_heads, dtype, dropout_rate, deterministic, rng=None):
+MERGED_ATTENTION_MAX = 256  # merged seq*heads width above which the
+# per-head path is used instead (the merged form trades 12x redundant
+# score FLOPs — free at surface-form widths — for zero relayout copies;
+# at long key lengths, e.g. the inter-token exchange over the whole
+# vocab axis, the redundancy would dominate)
+
+
+def _merged_head_attention(q, k, v, key_bias, head_bias, num_heads, dtype,
+                           dropout_rate, deterministic, rng=None):
+    """Attention for tiny sequence lengths with ZERO layout copies.
+
+    The classic per-head formulation reshapes (B, L, H) -> (B, L, h, d) and
+    einsums with (b, h) batch dims, which XLA lowers with physical
+    relayouts to head-major — measured at 33 ms of a 97 ms device budget on
+    the 32k-vocab transfer forward and 63 ms in the train step backward
+    (experiments/profiles/hypernet_r3.md). Instead, merge (L, h) into ONE
+    axis by pure contiguous reshape and compute scores for ALL head pairs
+    in a single (B, L*h, d) x (B, L*h, d)^T batched matmul, then mask the
+    off-diagonal head blocks to -inf before the softmax. exp(min)
+    underflows to exactly 0.0, so the result is numerically IDENTICAL to
+    per-head attention (the extra zero terms in the PV contraction are
+    exact no-ops). The h-fold redundant FLOPs are negligible: the per-head
+    matmuls (M=N<=16) cannot tile the 128x128 MXU anyway, while the merged
+    (L*h)^2 shapes can.
+
+    q/k/v: (B, L, H). key_bias: (B', Lk) additive, broadcast over queries
+    and heads (attention mask / prior bias). head_bias: (B', h, Lq, Lk)
+    additive per-head bias (relative positions)."""
+    B, Lq, H = q.shape
+    Lk = k.shape[1]
+    d = H // num_heads
+    h = num_heads
+    qm = q.reshape(B, Lq * h, d)
+    km = k.reshape(B, Lk * h, d)
+    vm = v.reshape(B, Lk * h, d)
+    scores = jnp.einsum("bqd,bkd->bqk", qm, km)
+    scores = scores / jnp.sqrt(d).astype(scores.dtype)
+    if key_bias is not None:
+        # merged key index = k*h + head: repeat each key h times
+        scores = scores + jnp.repeat(
+            key_bias.astype(scores.dtype), h, axis=-1
+        )[:, None, :]
+    if head_bias is not None:
+        # scatter the (B', h, Lq, Lk) bias onto the block diagonal of the
+        # tiny (B', Lq*h, Lk*h) merged plane (B' is 1 or B, Lq/Lk <= 16)
+        hb = jnp.broadcast_to(
+            head_bias, head_bias.shape[:1] + (h, Lq, Lk)
+        ).astype(scores.dtype)
+        eye = jnp.eye(h, dtype=scores.dtype)
+        hb = hb.transpose(0, 2, 1, 3)[:, :, :, :, None] * eye[None, None, :, None, :]
+        scores = scores + hb.reshape(head_bias.shape[0], Lq * h, Lk * h)
+    same_head = (
+        (jnp.arange(Lq * h) % h)[:, None] == (jnp.arange(Lk * h) % h)[None, :]
+    )
+    scores = jnp.where(
+        same_head[None], scores, jnp.finfo(scores.dtype).min
+    )
+    weights = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(dtype)
+    if not deterministic and dropout_rate > 0.0 and rng is not None:
+        keep = jax.random.bernoulli(rng, 1.0 - dropout_rate, weights.shape)
+        weights = weights * keep / (1.0 - dropout_rate)
+    out = jnp.einsum("bqk,bkd->bqd", weights, vm)
+    return out.reshape(B, Lq, H)
+
+
+def _attention(q, k, v, key_bias, head_bias, num_heads, dtype, dropout_rate,
+               deterministic, rng=None):
     """Multi-head attention core; q/k/v are (B, L, H) projections.
 
     Scores stay in the compute dtype (the MXU still accumulates the QK
@@ -147,17 +213,28 @@ def _attention(q, k, v, bias, num_heads, dtype, dropout_rate, deterministic, rng
     elementwise fusions out of a 120 ms device budget — and bf16 scores are
     no less precise than the reference's HF-Flax path, which runs the whole
     softmax in bf16 under a bf16 policy (flax dot_product_attention_weights)
-    while we keep the softmax in f32."""
+    while we keep the softmax in f32.
+
+    key_bias: (B', Lk) additive over keys (mask / priors); head_bias:
+    (B', h, Lq, Lk) additive per-head (relative positions). At surface-form
+    widths the merged-head formulation below avoids all head relayouts."""
     B, Lq, H = q.shape
     Lk = k.shape[1]
+    if Lq * num_heads <= MERGED_ATTENTION_MAX and Lk * num_heads <= MERGED_ATTENTION_MAX:
+        return _merged_head_attention(
+            q, k, v, key_bias, head_bias, num_heads, dtype,
+            dropout_rate, deterministic, rng,
+        )
     head_dim = H // num_heads
     q = q.reshape(B, Lq, num_heads, head_dim)
     k = k.reshape(B, Lk, num_heads, head_dim)
     v = v.reshape(B, Lk, num_heads, head_dim)
     scores = jnp.einsum("bqhd,bkhd->bhqk", q, k)
     scores = scores / jnp.sqrt(head_dim).astype(scores.dtype)
-    if bias is not None:
-        scores = scores + bias.astype(scores.dtype)
+    if key_bias is not None:
+        scores = scores + key_bias[:, None, None, :].astype(scores.dtype)
+    if head_bias is not None:
+        scores = scores + head_bias.astype(scores.dtype)
     weights = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(dtype)
     if not deterministic and dropout_rate > 0.0 and rng is not None:
         keep = jax.random.bernoulli(rng, 1.0 - dropout_rate, weights.shape)
@@ -193,24 +270,22 @@ class Attention(nn.Module):
         k = nn.Dense(cfg.hidden_size, dtype=self.dtype, name="key")(kv)
         v = nn.Dense(cfg.hidden_size, dtype=self.dtype, name="value")(kv)
 
-        bias = None
+        key_bias = None
         if attention_mask is not None:
-            # (B, Lk) boolean -> additive (B, 1, 1, Lk), in the compute dtype
+            # (B, Lk) boolean -> additive (B, Lk), in the compute dtype
             # (f32 min cast to bf16 would overflow to -inf)
-            bias = jnp.where(
-                attention_mask[:, None, None, :],
+            key_bias = jnp.where(
+                attention_mask,
                 jnp.asarray(0.0, self.dtype),
                 jnp.asarray(jnp.finfo(self.dtype).min, self.dtype),
             )
         elif attention_bias is not None:
-            bias = attention_bias[:, None, None, :]
-        if position_bias is not None:  # (1, heads, Lq, Lk) relative bias
-            bias = position_bias if bias is None else bias + position_bias
+            key_bias = attention_bias  # (B, Lk) additive (priors)
 
         rng = self.make_rng("dropout") if not deterministic else None
         out = _attention(
-            q, k, v, bias, cfg.num_attention_heads, self.dtype,
-            cfg.attention_dropout_prob, deterministic, rng,
+            q, k, v, key_bias, position_bias, cfg.num_attention_heads,
+            self.dtype, cfg.attention_dropout_prob, deterministic, rng,
         )
         out = nn.Dense(cfg.hidden_size, dtype=self.dtype, name="out")(out)
         if not deterministic and cfg.hidden_dropout_prob > 0.0:

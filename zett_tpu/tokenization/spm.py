@@ -91,33 +91,67 @@ def train_unigram(
             if total <= 0:
                 break
             with np.errstate(invalid="ignore"):
-                # digamma explodes toward -1/x for x -> 0: pieces with
-                # near-zero expected counts must take the finite sink branch,
-                # not digamma(1e-10) ~ -1e10 (degenerate scores that poison
-                # the final vocab when vocab_size exceeds corpus support)
-                # digamma(x) ~ -1/x for x -> 0: anything below ~0.05 expected
-                # occurrences would get a nonsense-scale score
-                new_scores = np.where(
-                    counts > 0.05,
-                    digamma(counts + 1e-12) - digamma(total),
-                    scores - 20.0,  # unused pieces sink
-                )
+                # digamma explodes toward -1/x for x -> 0, so floor the
+                # expected counts at 0.05 (score bounded at ~-20.6 relative
+                # to digamma(total)). Rare-but-real pieces keep a sane,
+                # stable low score instead of death-spiraling (the r3 sink
+                # branch subtracted 20 per EM iteration, which starved a
+                # third of the loss-pruned survivors and under-filled the
+                # requested vocab to 56-66% where HF fills ~100%).
+                new_scores = digamma(np.maximum(counts, 0.05)) - digamma(total)
             scores = new_scores
             if verbose:
                 print(f"EM ll/token: {ll / weights.sum():.4f}, pieces: {len(pieces)}")
         return scores
+
+    def prune_losses(pieces, scores, counts):
+        """sentencepiece's prune criterion (unigram_model_trainer.cc
+        PruneSentencePieces): the likelihood LOST if a piece is removed and
+        its occurrences re-segment along the best alternative path —
+        loss(x) = freq(x) * (logp(x) - logp_alt(x)). Pruning by raw usage
+        instead keeps shadowed/redundant pieces that the final EM then
+        starves, under-filling the requested vocab (r3: 56-66% emitted)."""
+        logZ = np.log(np.exp(scores - scores.max()).sum()) + scores.max()
+        norm = scores - logZ
+        score_of = {p: s for p, s in zip(pieces, norm)}
+        losses = np.zeros(len(pieces))
+        NEG = -1e18
+        for i, (p, c) in enumerate(zip(pieces, counts)):
+            if len(p) <= 1:
+                continue  # byte alphabet is inviolable anyway
+            if c <= 0:
+                losses[i] = NEG  # unused: prune first
+                continue
+            L = len(p)
+            best = [NEG] * (L + 1)
+            best[0] = 0.0
+            for j in range(1, L + 1):
+                bj = NEG
+                lo = 0 if j <= max_piece_length else j - max_piece_length
+                for k in range(lo, j):
+                    sub = p[k:j]
+                    if sub == p:
+                        continue
+                    s = score_of.get(sub)
+                    if s is not None:
+                        cand = best[k] + s
+                        if cand > bj:
+                            bj = cand
+                best[j] = bj
+            losses[i] = c * (norm[i] - best[L])
+        return losses
 
     target_core = vocab_size - len(special_tokens)
     while True:
         scores = em(pieces, scores, n_em_iters)
         if len(pieces) <= target_core:
             break
-        # prune: drop the pieces with the lowest expected usage, keeping all
-        # single bytes; shrink toward the target
+        # prune by likelihood loss, keeping all single bytes; shrink toward
+        # the target
         model = _host_lib.NativeUnigram(pieces, list(scores), unk_id=-1)
         counts, _ = model.expected_counts(pretokens, weights, len(pieces))
         keep_n = max(target_core, int(len(pieces) * shrink_factor))
-        order = np.argsort(-counts)
+        order = np.argsort(-prune_losses(pieces, scores, counts))
         keep = set()
         for i in range(256):
             keep.add(i)  # byte alphabet is inviolable
@@ -132,13 +166,16 @@ def train_unigram(
             scores = em(pieces, scores, n_em_iters)
             break
 
-    # drop pieces the corpus cannot support (expected usage < ~half an
-    # occurrence): both sentencepiece and HF's UnigramTrainer emit FEWER
-    # pieces than requested rather than pad the vocab with never-used
-    # entries whose scores are meaningless. Byte rows always stay.
+    # drop only pieces with literally zero posterior mass (unreachable in
+    # any segmentation of the corpus): both sentencepiece's seed and HF's
+    # UnigramTrainer FILL the requested vocab when the seed lattice supports
+    # it, keeping rare-but-real pieces with low finite scores (r3 used a
+    # 0.5-occurrence support cut and emitted only 56-66% of the requested
+    # vocab where HF emitted ~100% on the same corpus). Byte rows always
+    # stay.
     model = _host_lib.NativeUnigram(pieces, list(scores), unk_id=-1)
     counts, _ = model.expected_counts(pretokens, weights, len(pieces))
-    supported = (counts >= 0.5) | (np.arange(len(pieces)) < 256)
+    supported = (counts > 0.0) | (np.arange(len(pieces)) < 256)
     if supported.sum() < len(pieces):
         if verbose:
             print(
@@ -149,9 +186,9 @@ def train_unigram(
         scores = scores[supported]
         scores = em(pieces, scores, 1)
 
-    # floor the stragglers (byte-coverage rows and sub-threshold survivors
-    # whose sink scores drifted): just below the rarest genuinely-used piece,
-    # the same convention as the Viterbi unk penalty
+    # floor the stragglers (byte-coverage rows whose scores drifted): just
+    # below the rarest genuinely-used piece, the same convention as the
+    # Viterbi unk penalty
     used = scores[counts[supported] >= 0.5] if supported.any() else scores
     if used.size:
         scores = np.maximum(scores, used.min() - 10.0)

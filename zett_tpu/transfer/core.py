@@ -137,18 +137,15 @@ def batched_inference(
     emb_out_acc = None
     bias_acc = None
 
-    for batch_idx, width in batches:
-        sf = jnp.asarray(surface_forms[batch_idx][:, :width])
-        pr = jnp.asarray(priors[batch_idx])
-        if mesh is not None:
-            sharding = NamedSharding(mesh, P("data", None))
-            sf = jax.device_put(sf, sharding)
-            pr = jax.device_put(pr, NamedSharding(mesh, P("data")))
-        e_in, e_out, b = predict_fn(sf, pr, source_embeddings, lang_index)
+    def drain(entry):
+        nonlocal emb_in_acc, emb_out_acc, bias_acc
+        batch_idx, e_in, e_out, b = entry
         e_in = np.asarray(jax.device_get(e_in), dtype=np.float32)
-        e_out = np.asarray(jax.device_get(e_out), dtype=np.float32) if e_out is not None else None
+        e_out = (
+            np.asarray(jax.device_get(e_out), dtype=np.float32)
+            if e_out is not None else None
+        )
         b = np.asarray(jax.device_get(b), dtype=np.float32)
-
         if emb_in_acc is None:
             emb_in_acc = np.zeros((n, e_in.shape[1]), dtype=np.float32)
             if e_out is not None:
@@ -159,6 +156,29 @@ def batched_inference(
             np.add.at(emb_out_acc, batch_idx, e_out)
         np.add.at(bias_acc, batch_idx, b)
         np.add.at(weights, batch_idx, 1.0)
+
+    # pipelined dispatch: batch k+1 is enqueued BEFORE blocking on batch
+    # k's results (jax dispatch is async — predict_fn returns immediately),
+    # so the per-call device-tunnel dispatch latency (~25 ms on the remote
+    # v5e) and the host-side accumulation overlap with device compute
+    # instead of serializing with it. A 250k-vocab transfer at batch 16384
+    # pays the dispatch floor once, not 16 times.
+    from collections import deque
+
+    inflight: deque = deque()
+    for batch_idx, width in batches:
+        sf = jnp.asarray(surface_forms[batch_idx][:, :width])
+        pr = jnp.asarray(priors[batch_idx])
+        if mesh is not None:
+            sharding = NamedSharding(mesh, P("data", None))
+            sf = jax.device_put(sf, sharding)
+            pr = jax.device_put(pr, NamedSharding(mesh, P("data")))
+        e_in, e_out, b = predict_fn(sf, pr, source_embeddings, lang_index)
+        inflight.append((batch_idx, e_in, e_out, b))
+        if len(inflight) >= 2:
+            drain(inflight.popleft())
+    while inflight:
+        drain(inflight.popleft())
 
     weights = np.maximum(weights, 1.0)
     emb_in_acc /= weights[:, None]
