@@ -72,10 +72,17 @@ def run_sweep(steps: int):
         if proc.returncode == 0 and line:
             rows.append(json.loads(line))
         else:
+            err_lines = proc.stderr.strip().splitlines() or ["crashed"]
+            informative = next(
+                (l for l in err_lines
+                 if "RESOURCE_EXHAUSTED" in l or "Out of memory" in l
+                 or "OOM" in l or "Error" in l),
+                err_lines[-1],
+            )
             rows.append({
                 "batch": batch, "remat_hypernet": remat,
                 "loss_chunk_size": chunk, "remat_backbone": remat_bb,
-                "error": (proc.stderr.strip().splitlines() or ["crashed"])[-1][:200],
+                "error": informative.strip()[:200],
             })
         r = rows[-1]
         print(f"# batch={batch} remat={remat} chunk={chunk} remat_bb={remat_bb}: "
