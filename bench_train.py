@@ -45,6 +45,7 @@ SWEEP = [
     (1024, True, 0, False),
     (1024, True, 16, False),
     (1024, True, 16, True),
+    (2048, True, 16, True),
 ]
 
 

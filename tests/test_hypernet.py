@@ -232,3 +232,67 @@ class TestSplice:
         logits = spliced_model.apply({"params": spliced}, ids)
         assert logits.shape == (2, 8, 30)
         assert np.asarray(spliced["lm_head_bias"]).shape == (30,)
+
+
+class TestMergedHeadAttention:
+    """The merged-head block-diagonal attention (zero layout copies at
+    surface-form widths, experiments/profiles/hypernet_r4.md) must be
+    numerically identical to the classic per-head formulation for every
+    bias kind, and the per-head fallback must engage at long key lengths."""
+
+    def _qkv(self, B=32, L=7, heads=4, d=16, seed=0):
+        import numpy as np
+
+        r = np.random.default_rng(seed)
+        H = heads * d
+        mk = lambda: jnp.asarray(  # noqa: E731
+            r.standard_normal((B, L, H)), jnp.float32)
+        return mk(), mk(), mk(), heads
+
+    def test_matches_per_head_all_bias_kinds(self):
+        import numpy as np
+
+        import zett_tpu.models.hypernet as H
+
+        q, k, v, heads = self._qkv()
+        B, L, _ = q.shape
+        r = np.random.default_rng(1)
+        key_bias = jnp.asarray(r.standard_normal((B, L)), jnp.float32)
+        head_bias = jnp.asarray(r.standard_normal((1, heads, L, L)), jnp.float32)
+        for kb, hb in [(None, None), (key_bias, None), (None, head_bias),
+                       (key_bias, head_bias)]:
+            merged = H._merged_head_attention(
+                q, k, v, kb, hb, heads, jnp.float32, 0.0, True)
+            save = H.MERGED_ATTENTION_MAX
+            H.MERGED_ATTENTION_MAX = 0  # force per-head
+            try:
+                per_head = H._attention(
+                    q, k, v, kb, hb, heads, jnp.float32, 0.0, True)
+            finally:
+                H.MERGED_ATTENTION_MAX = save
+            np.testing.assert_allclose(
+                np.asarray(merged), np.asarray(per_head), atol=2e-5)
+
+    def test_cls_query_only_shape(self):
+        import numpy as np
+
+        import zett_tpu.models.hypernet as H
+
+        q, k, v, heads = self._qkv()
+        merged = H._merged_head_attention(
+            q[:, :1], k, v, None, None, heads, jnp.float32, 0.0, True)
+        per = H._attention(q[:, :1], k, v, None, None, heads, jnp.float32, 0.0, True)
+        assert merged.shape == (q.shape[0], 1, q.shape[2])
+        np.testing.assert_allclose(np.asarray(merged), np.asarray(per), atol=2e-5)
+
+    def test_long_keys_use_per_head(self):
+        # inter-token exchange keys span the vocab axis: merged would blow
+        # up memory h-fold there, so the dispatcher must fall back
+        import zett_tpu.models.hypernet as H
+
+        q, k, v, heads = self._qkv(B=2, L=7)
+        long_k = jnp.tile(k, (1, 80, 1))  # Lk*heads = 2240 > 256
+        long_v = jnp.tile(v, (1, 80, 1))
+        out = H._attention(q, long_k, long_v, None, None, heads,
+                           jnp.float32, 0.0, True)
+        assert out.shape == q.shape

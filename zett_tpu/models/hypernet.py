@@ -137,6 +137,10 @@ class ProjectorBlock(nn.Module):
         return nn.LayerNorm(dtype=self.dtype, name="ln")(nn.gelu(h) + x)
 
 
+_FLATTEN_QKV = False  # experiment toggle: run the q/k/v Denses on
+# (B*L, H)-flattened inputs (identical math; changes XLA's layout choices
+# around the merged-head reshapes — see experiments/profiles/hypernet_r4.md)
+
 MERGED_ATTENTION_MAX = 256  # merged seq*heads width above which the
 # per-head path is used instead (the merged form trades 12x redundant
 # score FLOPs — free at surface-form widths — for zero relayout copies;
@@ -266,9 +270,16 @@ class Attention(nn.Module):
             # only the CLS position's output is consumed downstream: project
             # q for position 0 alone (keys/values still span all positions)
             hidden_states = hidden_states[:, :1]
-        q = nn.Dense(cfg.hidden_size, dtype=self.dtype, name="query")(hidden_states)
-        k = nn.Dense(cfg.hidden_size, dtype=self.dtype, name="key")(kv)
-        v = nn.Dense(cfg.hidden_size, dtype=self.dtype, name="value")(kv)
+
+        def project(name, x):
+            y = nn.Dense(cfg.hidden_size, dtype=self.dtype, name=name)(
+                x.reshape(-1, x.shape[-1]) if _FLATTEN_QKV else x
+            )
+            return y.reshape(x.shape[:-1] + (cfg.hidden_size,))
+
+        q = project("query", hidden_states)
+        k = project("key", kv)
+        v = project("value", kv)
 
         key_bias = None
         if attention_mask is not None:
