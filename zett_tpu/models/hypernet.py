@@ -149,7 +149,8 @@ MERGED_ATTENTION_MAX = 256  # merged seq*heads width above which the
 
 
 def _merged_head_attention(q, k, v, key_bias, head_bias, num_heads, dtype,
-                           dropout_rate, deterministic, rng=None):
+                           dropout_rate, deterministic, rng=None,
+                           key_mask=None):
     """Attention for tiny sequence lengths with ZERO layout copies.
 
     The classic per-head formulation reshapes (B, L, H) -> (B, L, h, d) and
@@ -167,8 +168,11 @@ def _merged_head_attention(q, k, v, key_bias, head_bias, num_heads, dtype,
     (L*h)^2 shapes can.
 
     q/k/v: (B, L, H). key_bias: (B', Lk) additive, broadcast over queries
-    and heads (attention mask / prior bias). head_bias: (B', h, Lq, Lk)
-    additive per-head bias (relative positions)."""
+    and heads (prior bias). key_mask: (B, Lk) boolean — folded into the
+    same single `where` as the head-block mask (one fewer full-plane
+    elementwise pass than an additive mask; the score plane is the
+    HBM-bound tensor here). head_bias: (B', h, Lq, Lk) additive per-head
+    bias (relative positions)."""
     B, Lq, H = q.shape
     Lk = k.shape[1]
     d = H // num_heads
@@ -195,9 +199,10 @@ def _merged_head_attention(q, k, v, key_bias, head_bias, num_heads, dtype,
     same_head = (
         (jnp.arange(Lq * h) % h)[:, None] == (jnp.arange(Lk * h) % h)[None, :]
     )
-    scores = jnp.where(
-        same_head[None], scores, jnp.finfo(scores.dtype).min
-    )
+    valid = same_head[None]
+    if key_mask is not None:
+        valid = valid & jnp.repeat(key_mask, h, axis=-1)[:, None, :]
+    scores = jnp.where(valid, scores, jnp.finfo(scores.dtype).min)
     weights = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(dtype)
     if not deterministic and dropout_rate > 0.0 and rng is not None:
         keep = jax.random.bernoulli(rng, 1.0 - dropout_rate, weights.shape)
@@ -207,7 +212,7 @@ def _merged_head_attention(q, k, v, key_bias, head_bias, num_heads, dtype,
 
 
 def _attention(q, k, v, key_bias, head_bias, num_heads, dtype, dropout_rate,
-               deterministic, rng=None):
+               deterministic, rng=None, key_mask=None):
     """Multi-head attention core; q/k/v are (B, L, H) projections.
 
     Scores stay in the compute dtype (the MXU still accumulates the QK
@@ -227,7 +232,7 @@ def _attention(q, k, v, key_bias, head_bias, num_heads, dtype, dropout_rate,
     if Lq * num_heads <= MERGED_ATTENTION_MAX and Lk * num_heads <= MERGED_ATTENTION_MAX:
         return _merged_head_attention(
             q, k, v, key_bias, head_bias, num_heads, dtype,
-            dropout_rate, deterministic, rng,
+            dropout_rate, deterministic, rng, key_mask=key_mask,
         )
     head_dim = H // num_heads
     q = q.reshape(B, Lq, num_heads, head_dim)
@@ -239,6 +244,10 @@ def _attention(q, k, v, key_bias, head_bias, num_heads, dtype, dropout_rate,
         scores = scores + key_bias[:, None, None, :].astype(scores.dtype)
     if head_bias is not None:
         scores = scores + head_bias.astype(scores.dtype)
+    if key_mask is not None:
+        scores = jnp.where(
+            key_mask[:, None, None, :], scores, jnp.finfo(scores.dtype).min
+        )
     weights = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(dtype)
     if not deterministic and dropout_rate > 0.0 and rng is not None:
         keep = jax.random.bernoulli(rng, 1.0 - dropout_rate, weights.shape)
@@ -281,15 +290,12 @@ class Attention(nn.Module):
         k = project("key", kv)
         v = project("value", kv)
 
+        key_mask = None
         key_bias = None
         if attention_mask is not None:
-            # (B, Lk) boolean -> additive (B, Lk), in the compute dtype
-            # (f32 min cast to bf16 would overflow to -inf)
-            key_bias = jnp.where(
-                attention_mask,
-                jnp.asarray(0.0, self.dtype),
-                jnp.asarray(jnp.finfo(self.dtype).min, self.dtype),
-            )
+            # (B, Lk) boolean, folded into the score mask select (NOT an
+            # additive -inf pass: the score plane is the HBM-bound tensor)
+            key_mask = attention_mask.astype(bool)
         elif attention_bias is not None:
             key_bias = attention_bias  # (B, Lk) additive (priors)
 
@@ -297,6 +303,7 @@ class Attention(nn.Module):
         out = _attention(
             q, k, v, key_bias, position_bias, cfg.num_attention_heads,
             self.dtype, cfg.attention_dropout_prob, deterministic, rng,
+            key_mask=key_mask,
         )
         out = nn.Dense(cfg.hidden_size, dtype=self.dtype, name="out")(out)
         if not deterministic and cfg.hidden_dropout_prob > 0.0:
