@@ -434,3 +434,58 @@ def test_chunked_clm_loss_untied_llama():
         a.state, ma = a.train_step(a.state, a._device_batch(batch))
         b.state, mb = b.train_step(b.state, b._device_batch(batch))
         np.testing.assert_allclose(float(ma["loss"]), float(mb["loss"]), rtol=1e-6)
+
+
+def test_preemption_checkpoint_and_resume(tmp_path):
+    """Graceful preemption (beyond the reference, SURVEY §5.3 'none'): on
+    the configured signal the loop finishes the in-flight step, writes a
+    full-state checkpoint and returns; resuming from it reproduces the
+    uninterrupted run's losses exactly (replay-based data recovery)."""
+    import os
+    import signal
+
+    from tests_helpers_trainer import make_batch, make_tiny_trainer
+
+    def batches():
+        i = 0
+        while True:
+            yield make_batch(i % 7)
+            i += 1
+
+    # uninterrupted 6-step run for the ground-truth trajectory
+    ref = make_tiny_trainer(steps=6, logging_steps=1,
+                            output_dir=str(tmp_path / "ref"))
+    ref_hist = ref.fit(batches())
+    ref_losses = {h["step"]: h["loss"] for h in ref_hist if "loss" in h}
+
+    # interrupted run: raise SIGUSR1 from inside the stream after 3 batches
+    def interrupting():
+        i = 0
+        while True:
+            if i == 3:
+                os.kill(os.getpid(), signal.SIGUSR1)
+            yield make_batch(i % 7)
+            i += 1
+
+    t = make_tiny_trainer(steps=6, logging_steps=1,
+                          output_dir=str(tmp_path / "run"))
+    hist = t.fit(interrupting(), preempt_signal=signal.SIGUSR1)
+    assert any("preempted" in h for h in hist)
+    last_step = max(h["step"] for h in hist if "loss" in h)
+    assert last_step < 6, "run should have stopped early"
+    ckpt = str(tmp_path / "run" / f"preempt_step_{last_step}")
+    assert os.path.exists(os.path.join(ckpt, "resume"))
+    # fit restored the previous handler on exit (default for SIGUSR1)
+    assert signal.getsignal(signal.SIGUSR1) == signal.SIG_DFL
+
+    # resume and finish; post-resume losses must match the uninterrupted run
+    t2 = make_tiny_trainer(steps=6, logging_steps=1,
+                           output_dir=str(tmp_path / "resumed"))
+    resume_step = t2.restore_checkpoint(ckpt)
+    hist2 = t2.fit(batches(), resume_step=resume_step)
+    for h in hist2:
+        if "loss" in h and h["step"] > last_step:
+            np.testing.assert_allclose(
+                h["loss"], ref_losses[h["step"]], rtol=1e-6,
+                err_msg=f"step {h['step']} diverged after preempt-resume",
+            )

@@ -441,9 +441,19 @@ def run_training(config: dict, run_name: str = "run"):
         resume_step = min(n_profile + resume_step, saved_steps)
         print(f"wrote device trace for {n_profile} steps to {profile_dir}")
 
+    # graceful preemption (TPU spot/preemptible VMs send SIGTERM with a
+    # short grace window): checkpoint at the next step boundary and exit;
+    # config: "preempt_signal": "SIGTERM" (any signal name, or null)
+    preempt_signal = None
+    if config.get("preempt_signal"):
+        import signal as _signal
+
+        preempt_signal = getattr(_signal, config["preempt_signal"])
+
     history = trainer.fit(
         batch_iter, identity_iter, eval_fn=eval_fn, on_log=on_log,
         resume_step=resume_step, do_replay=not profile_dir,
+        preempt_signal=preempt_signal,
     )
     trainer.save_checkpoint(
         os.path.join(train_cfg.output_dir, "final"), full_state=train_cfg.save_state

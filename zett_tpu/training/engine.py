@@ -569,12 +569,31 @@ class Trainer:
         on_log: Optional[Callable[[int, Dict[str, float]], None]] = None,
         resume_step: int = 0,
         do_replay: bool = True,
+        preempt_signal: Optional[int] = None,
     ):
+        """preempt_signal: a signal number (e.g. signal.SIGTERM) to treat as
+        a preemption notice — TPU spot/preemptible VMs receive SIGTERM with
+        a short grace window before the kill. On receipt the loop finishes
+        the in-flight step, writes a full-state checkpoint to
+        <output_dir>/preempt_step_<N> and returns early; a later run with
+        resume_from_checkpoint continues bit-identically (replay-based data
+        recovery). The reference has no preemption handling (SURVEY §5.3 —
+        'none beyond checkpoint-resume')."""
         cfg = self.cfg
         history = []
         running: Dict[str, float] = {}
         counts: Dict[str, int] = {}
         t0 = time.time()
+
+        self._preempted = False
+        prev_handler = None
+        if preempt_signal is not None:
+            import signal as _signal
+
+            def _on_preempt(signum, frame):
+                self._preempted = True
+
+            prev_handler = _signal.signal(preempt_signal, _on_preempt)
 
         def track(key: str, value: float):
             running[key] = running.get(key, 0.0) + value
@@ -639,6 +658,18 @@ class Trainer:
                 and (step + 1) % cfg.eval_steps == 0
             ):
                 history.append({"step": step + 1, **eval_fn(self)})
+            if is_boundary and self._preempted:
+                # finish the step in flight, write a resumable full-state
+                # checkpoint, and leave — the grace window on preemptible
+                # TPU VMs is short
+                path = os.path.join(cfg.output_dir, f"preempt_step_{step + 1}")
+                self.save_checkpoint(path, full_state=True)
+                history.append({"step": step + 1, "preempted": 1.0})
+                break
+        if preempt_signal is not None:
+            import signal as _signal
+
+            _signal.signal(preempt_signal, prev_handler)
         return history
 
     # ------------------------------------------------------------ checkpoints
