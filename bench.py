@@ -503,16 +503,14 @@ def bench_transfer_250k(vocab=250_000, maxlen=16, batch=16384,
         )
         return (time.time() - t0) * 1000
 
-    # each full pass moves ~800 MB through the tunnel (~35-60 s), so keep
-    # the repeat count minimal — the driver bench must stay bounded. The
-    # shared link's rate drifts between phases, so INTERLEAVE the serial
-    # and pipelined passes and take each one's best (a blocked ordering
-    # lets the drift masquerade as a scheme difference).
+    # each full pass moves ~800 MB through the tunnel (~35-60 s), so the
+    # driver bench runs ONE pass per scheme (serial first — the link's
+    # slow-drift then biases AGAINST the pipelined number, the
+    # conservative direction). The careful interleaved multi-pass
+    # comparison is the committed experiments/results/transfer_250k.json.
     run(True)  # compile warmup
-    ms_pipelined = run(True)
     ms_serial = run(False)
-    ms_pipelined = min(ms_pipelined, run(True))
-    ms_serial = min(ms_serial, run(False))
+    ms_pipelined = run(True)
 
     # ideal: one dispatch, scan over all full batches
     n_batches = vocab // batch
