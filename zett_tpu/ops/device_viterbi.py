@@ -36,7 +36,7 @@ repetition factor.
 from __future__ import annotations
 
 from functools import partial
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -44,6 +44,7 @@ import jax
 import jax.numpy as jnp
 
 NEG = -1e30
+_FUSED_SEGMENT_CACHE: dict = {}  # (shapes-sig, salt, unk, K) -> jitted fn
 _P1 = 0x01000193  # FNV-ish multipliers
 _P2 = 0x85EBCA6B
 _OFF1 = 0x811C9DC5
@@ -543,11 +544,18 @@ class DeviceRetokenizer:
     def _segment_unique(self, unique_pretokens: Sequence[bytes]) -> List[List[int]]:
         """Device Viterbi + host backtrack for pretokens not seen before,
         length-bucketed; each bucket is padded to power-of-two batch sizes so
-        jit compiles once per (batch-bucket, width) pair."""
+        jit compiles once per (batch-bucket, width) tuple signature.
+
+        ALL width buckets run inside ONE jitted call and return ONE
+        concatenated ids array: through the remote tunnel each dispatch and
+        each fetch costs ~15-25 ms, and the per-bucket loop (up to 6 round
+        trips) used to dominate the effective rate on real corpora — the
+        device compute itself is a few ms per bucket."""
         if not unique_pretokens:
             return []
         out: List[Optional[List[int]]] = [None] * len(unique_pretokens)
         last = self._widths[-1]
+        groups = []  # (idx, rows, lens, n_real, width)
         for wi, width in enumerate(self._widths):
             lo = self._widths[wi - 1] if wi else -1  # first bucket takes len 0
             idx = [
@@ -556,9 +564,65 @@ class DeviceRetokenizer:
             ]
             if not idx:
                 continue
-            segs = self._segment_bucket(
+            rows, lens = pack_pretokens(
                 [unique_pretokens[i] for i in idx], width
             )
+            n = rows.shape[0]
+            bucket = max(256, 1 << int(np.ceil(np.log2(n))))
+            if bucket > n:
+                rows = np.pad(rows, ((0, bucket - n), (0, 0)))
+                lens = np.pad(lens, (0, bucket - n))
+            groups.append((idx, rows, lens, n, width))
+        if not groups:
+            return out  # type: ignore[return-value]
+
+        # module-level cache: jit programs are reusable across
+        # DeviceRetokenizer instances (a fresh instance per sampled
+        # tokenizer is the normal usage — per-instance caching would
+        # recompile every batch)
+        sig = (
+            tuple((r.shape, int(w)) for _, r, _, _, w in groups),
+            int(self.K),
+        )
+        fn = _FUSED_SEGMENT_CACHE.get(sig)
+        if fn is None:
+            widths = [w for _, _, _, _, w in groups]
+            Ks = [min(self.K, w) for w in widths]
+            w_max = max(widths)
+
+            @jax.jit
+            def fn(tab, salt, unk, *flat):
+                outs = []
+                for (rows, lens), K, w in zip(
+                    zip(flat[::2], flat[1::2]), Ks, widths
+                ):
+                    _, bk, bi = viterbi_device(rows, lens, tab, salt, unk, K=K)
+                    ids_rev = backtrack_device(bk, bi, lens)  # (B, w)
+                    if w < w_max:
+                        # pad on the RIGHT of the reversed array (ids live in
+                        # a -1-terminated prefix, so right-padding with -1 is
+                        # shape-only)
+                        ids_rev = jnp.pad(
+                            ids_rev, ((0, 0), (0, w_max - w)),
+                            constant_values=-1,
+                        )
+                    outs.append(ids_rev)
+                return jnp.concatenate(outs, axis=0)
+
+            _FUSED_SEGMENT_CACHE[sig] = fn
+
+        flat = []
+        for _, rows, lens, _, _ in groups:
+            flat += [jnp.asarray(rows), jnp.asarray(lens)]
+        all_ids = np.asarray(fn(
+            self._dev_table,
+            jnp.uint32(self.table.salt), jnp.float32(self.unk_score),
+            *flat,
+        ))  # ONE fetch
+        off = 0
+        for idx, rows, _, n, _ in groups:
+            segs = unpack_backtrack(all_ids[off : off + n])
+            off += rows.shape[0]
             for i, seg in zip(idx, segs):
                 out[i] = seg
         return out  # type: ignore[return-value]
