@@ -25,6 +25,13 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..constants import EPSILON
+from ..ops.pallas_attention import (
+    attention_block_pallas,
+    attention_block_reference,
+    encoder_layer_pallas,
+    encoder_layer_reference,
+    pallas_attention_available,
+)
 
 
 @dataclass
@@ -256,6 +263,59 @@ def _attention(q, k, v, key_bias, head_bias, num_heads, dtype, dropout_rate,
     return out.reshape(B, Lq, H)
 
 
+class _DenseParams(nn.Module):
+    """Declares nn.Dense's exact param tree ({kernel, bias} under this
+    module's name, same initializers/param dtype) WITHOUT computing the
+    matmul — the fused attention kernel consumes the raw weights, and
+    checkpoints stay byte-interchangeable with the nn.Dense formulation."""
+
+    in_features: int
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (self.in_features, self.features), jnp.float32,
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros, (self.features,), jnp.float32
+        )
+        return kernel, bias
+
+
+class _LNParams(nn.Module):
+    """nn.LayerNorm's exact param tree ({scale, bias}, f32, ones/zeros)
+    without the computation — for the fused layer kernel."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param(
+            "scale", nn.initializers.ones, (self.dim,), jnp.float32
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros, (self.dim,), jnp.float32
+        )
+        return scale, bias
+
+
+class _AttentionParams(nn.Module):
+    """The Attention module's param tree (query/key/value/out Dense params)
+    without the computation — for the fused layer kernel."""
+
+    hidden_size: int
+
+    @nn.compact
+    def __call__(self):
+        ps = []
+        for name in ("query", "key", "value", "out"):
+            ps.extend(_DenseParams(self.hidden_size, self.hidden_size,
+                                   name=name)())
+        return tuple(ps)
+
+
 class Attention(nn.Module):
     """Self/cross attention with optional additive bias over keys."""
 
@@ -280,15 +340,15 @@ class Attention(nn.Module):
             # q for position 0 alone (keys/values still span all positions)
             hidden_states = hidden_states[:, :1]
 
-        def project(name, x):
-            y = nn.Dense(cfg.hidden_size, dtype=self.dtype, name=name)(
-                x.reshape(-1, x.shape[-1]) if _FLATTEN_QKV else x
-            )
-            return y.reshape(x.shape[:-1] + (cfg.hidden_size,))
-
-        q = project("query", hidden_states)
-        k = project("key", kv)
-        v = project("value", kv)
+        H = cfg.hidden_size
+        wq, bq = _DenseParams(H, H, name="query")()
+        wk, bk = _DenseParams(H, H, name="key")()
+        wv, bv = _DenseParams(H, H, name="value")()
+        wo, bo = _DenseParams(H, H, name="out")()
+        # nn.Dense promotes params to the compute dtype before the matmul
+        wq, bq, wk, bk, wv, bv, wo, bo = (
+            p.astype(self.dtype) for p in (wq, bq, wk, bk, wv, bv, wo, bo)
+        )
 
         key_mask = None
         key_bias = None
@@ -299,13 +359,48 @@ class Attention(nn.Module):
         elif attention_bias is not None:
             key_bias = attention_bias  # (B, Lk) additive (priors)
 
+        fused_ok = (
+            deterministic
+            and position_bias is None
+            and key_value_states is None
+            and not cls_query_only
+            and hidden_states.shape[1] * cfg.num_attention_heads
+            <= MERGED_ATTENTION_MAX
+            and H % cfg.num_attention_heads == 0
+            and (H // cfg.num_attention_heads) % 64 == 0
+            and pallas_attention_available()
+        )
+        if fused_ok:
+            # whole attention block in one VMEM-resident Pallas program
+            # (ops/pallas_attention.py); the non-TPU branch of the SAME
+            # trace runs the numerically-matching XLA formulation, so
+            # CPU-executed init / virtual-mesh tests never meet Mosaic
+            args = (hidden_states, key_mask, key_bias,
+                    wq, bq, wk, bk, wv, bv, wo, bo)
+            return jax.lax.platform_dependent(
+                tpu=lambda: attention_block_pallas(
+                    *args, num_heads=cfg.num_attention_heads
+                ),
+                default=lambda: attention_block_reference(
+                    *args, cfg.num_attention_heads
+                ),
+            )
+
+        def project(w, b, x):
+            y = (x.reshape(-1, x.shape[-1]) if _FLATTEN_QKV else x) @ w + b
+            return y.reshape(x.shape[:-1] + (H,))
+
+        q = project(wq, bq, hidden_states)
+        k = project(wk, bk, kv)
+        v = project(wv, bv, kv)
+
         rng = self.make_rng("dropout") if not deterministic else None
         out = _attention(
             q, k, v, key_bias, position_bias, cfg.num_attention_heads,
             self.dtype, cfg.attention_dropout_prob, deterministic, rng,
             key_mask=key_mask,
         )
-        out = nn.Dense(cfg.hidden_size, dtype=self.dtype, name="out")(out)
+        out = out @ wo + bo
         if not deterministic and cfg.hidden_dropout_prob > 0.0:
             out = nn.Dropout(cfg.hidden_dropout_prob)(out, deterministic=False)
         return out
@@ -337,6 +432,59 @@ class EncoderLayer(nn.Module):
             assert not cfg.add_inter_token_attention
             if position_bias is not None:
                 position_bias = position_bias[:, :, :1, :]
+
+        fused_layer = (
+            deterministic
+            and not cls_only
+            and not cfg.add_inter_token_attention
+            and position_bias is None
+            and hidden_states.shape[1] * cfg.num_attention_heads
+            <= MERGED_ATTENTION_MAX
+            and cfg.hidden_size % cfg.num_attention_heads == 0
+            and (cfg.hidden_size // cfg.num_attention_heads) % 64 == 0
+            and cfg.hidden_act != "gelu"  # Mosaic has no erf/erfc
+            and pallas_attention_available("layer")
+        )
+        if fused_layer:
+            # whole layer (attention + LN + FFN + LN) as one VMEM-resident
+            # Pallas program; the param tree is IDENTICAL to the module
+            # path below (_AttentionParams/_DenseParams/_LNParams mirror
+            # the nn.Dense / nn.LayerNorm trees), so checkpoints and init
+            # are branch-independent. Non-TPU lowerings of the same trace
+            # run the numerically-matching reference.
+            H = cfg.hidden_size
+            wq, bq, wk, bk, wv, bv, wo, bo = _AttentionParams(
+                H, name="attention"
+            )()
+            ln1_s, ln1_b = _LNParams(H, name="attention_ln")()
+            w1, b1 = _DenseParams(H, cfg.intermediate_size, name="intermediate")()
+            w2, b2 = _DenseParams(cfg.intermediate_size, H, name="output")()
+            ln2_s, ln2_b = _LNParams(H, name="output_ln")()
+            dt = self.dtype
+            wq, bq, wk, bk, wv, bv, wo, bo, w1, b1, w2, b2 = (
+                p.astype(dt)
+                for p in (wq, bq, wk, bk, wv, bv, wo, bo, w1, b1, w2, b2)
+            )
+            mask = (
+                attention_mask.astype(bool)
+                if attention_mask is not None
+                else None
+            )
+            args = (hidden_states, mask, wq, bq, wk, bk, wv, bv, wo, bo,
+                    ln1_s, ln1_b, w1, b1, w2, b2, ln2_s, ln2_b)
+            approx = cfg.hidden_act != "gelu"
+            h = jax.lax.platform_dependent(
+                tpu=lambda: encoder_layer_pallas(
+                    *args, num_heads=cfg.num_attention_heads,
+                    eps=cfg.layer_norm_eps, approximate_gelu=approx,
+                ),
+                default=lambda: encoder_layer_reference(
+                    *args, cfg.num_attention_heads, cfg.layer_norm_eps,
+                    approx,
+                ),
+            )
+            return self._adapter_tail(h, lang_index, deterministic)
+
         attn_out = Attention(cfg, dtype=self.dtype, name="attention")(
             hidden_states, attention_mask=attention_mask,
             position_bias=position_bias, deterministic=deterministic,
@@ -389,8 +537,13 @@ class EncoderLayer(nn.Module):
         if not deterministic and cfg.hidden_dropout_prob > 0.0:
             h = nn.Dropout(cfg.hidden_dropout_prob)(h, deterministic=False)
         h = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype, name="output_ln")(h + attn_out)
+        return self._adapter_tail(h, lang_index, deterministic)
 
-        # Per-language bottleneck adapters (reference: hyper_roberta.py:282-339)
+    def _adapter_tail(self, h, lang_index, deterministic):
+        """Per-language bottleneck adapters (reference:
+        hyper_roberta.py:282-339); shared tail of both the fused-kernel and
+        module paths."""
+        cfg = self.config
         if cfg.language_adapter_bottleneck_dim > 0:
             d = cfg.language_adapter_bottleneck_dim
             down_w = self.param(

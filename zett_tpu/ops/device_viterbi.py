@@ -44,7 +44,13 @@ import jax
 import jax.numpy as jnp
 
 NEG = -1e30
-_FUSED_SEGMENT_CACHE: dict = {}  # (shapes-sig, salt, unk, K) -> jitted fn
+import collections
+
+_FUSED_SEGMENT_CACHE: "collections.OrderedDict" = collections.OrderedDict()
+# (present-widths, shared-batch-bucket, K) -> jitted fn; LRU-bounded: every
+# group is padded to ONE shared batch bucket so the signature does not
+# multiply across per-width batch sizes
+_FUSED_SEGMENT_CACHE_MAX = 32
 _P1 = 0x01000193  # FNV-ish multipliers
 _P2 = 0x85EBCA6B
 _OFF1 = 0x811C9DC5
@@ -567,24 +573,43 @@ class DeviceRetokenizer:
             rows, lens = pack_pretokens(
                 [unique_pretokens[i] for i in idx], width
             )
-            n = rows.shape[0]
-            bucket = max(256, 1 << int(np.ceil(np.log2(n))))
-            if bucket > n:
-                rows = np.pad(rows, ((0, bucket - n), (0, 0)))
-                lens = np.pad(lens, (0, bucket - n))
-            groups.append((idx, rows, lens, n, width))
+            groups.append((idx, rows, lens, rows.shape[0], width))
         if not groups:
             return out  # type: ignore[return-value]
+
+        # every group is padded to ONE shared batch bucket (max across the
+        # present widths): the jit signature is then (present-widths,
+        # bucket) instead of a per-width batch tuple, which would compile a
+        # fresh program for every COMBINATION of per-width batch sizes. The
+        # padded rows cost device compute only (a few ms — dispatch
+        # dominates through the tunnel).
+        bucket = max(
+            256,
+            1 << int(np.ceil(np.log2(max(n for *_, n, _ in groups)))),
+        )
+        groups = [
+            (
+                idx,
+                np.pad(rows, ((0, bucket - n), (0, 0))) if bucket > n else rows,
+                np.pad(lens, (0, bucket - n)) if bucket > n else lens,
+                n,
+                width,
+            )
+            for idx, rows, lens, n, width in groups
+        ]
 
         # module-level cache: jit programs are reusable across
         # DeviceRetokenizer instances (a fresh instance per sampled
         # tokenizer is the normal usage — per-instance caching would
         # recompile every batch)
         sig = (
-            tuple((r.shape, int(w)) for _, r, _, _, w in groups),
+            tuple(int(w) for *_, w in groups),
+            bucket,
             int(self.K),
         )
         fn = _FUSED_SEGMENT_CACHE.get(sig)
+        if fn is not None:
+            _FUSED_SEGMENT_CACHE.move_to_end(sig)
         if fn is None:
             widths = [w for _, _, _, _, w in groups]
             Ks = [min(self.K, w) for w in widths]
@@ -610,6 +635,8 @@ class DeviceRetokenizer:
                 return jnp.concatenate(outs, axis=0)
 
             _FUSED_SEGMENT_CACHE[sig] = fn
+            while len(_FUSED_SEGMENT_CACHE) > _FUSED_SEGMENT_CACHE_MAX:
+                _FUSED_SEGMENT_CACHE.popitem(last=False)
 
         flat = []
         for _, rows, lens, _, _ in groups:

@@ -455,10 +455,24 @@ def run_training(config: dict, run_name: str = "run"):
         resume_step=resume_step, do_replay=not profile_dir,
         preempt_signal=preempt_signal,
     )
-    trainer.save_checkpoint(
-        os.path.join(train_cfg.output_dir, "final"), full_state=train_cfg.save_state
-    )
-    hn_tokenizer.save(os.path.join(train_cfg.output_dir, "final", "tokenizer.json"))
+    preempted = bool(history) and history[-1].get("preempted")
+    if preempted:
+        # the grace window is scarce and preempt_step_<N> already holds the
+        # resumable state: a second full checkpoint would burn seconds and
+        # mislabel an interrupted run as complete (final/ = finished runs
+        # only)
+        print(
+            "preempted: state is in the preempt_step checkpoint; "
+            "skipping final/ save"
+        )
+    else:
+        trainer.save_checkpoint(
+            os.path.join(train_cfg.output_dir, "final"),
+            full_state=train_cfg.save_state,
+        )
+        hn_tokenizer.save(
+            os.path.join(train_cfg.output_dir, "final", "tokenizer.json")
+        )
     tracker.finish()
     return trainer, history
 

@@ -57,3 +57,9 @@ class TrainingConfig:
     # roberta families): drops the per-layer activations that bound the LM
     # batch once loss_chunk_size removed the logits
     remat_backbone: bool = False
+    # batches prepared + device_put AHEAD of the running step by a
+    # background thread (Trainer.fit): overlaps the host collate +
+    # host->device transfer with device compute. The reference instead
+    # serializes next(dataloader) with the step and compensates with 64
+    # workers (train.py:159,1425-1461). 0 disables.
+    prefetch_batches: int = 2
