@@ -124,31 +124,48 @@ def bench_retokenize(texts, vocab_size=32768):
     from zett_tpu.tokenization.fast_encode import fast_encoder_or_none
 
     fast = fast_encoder_or_none(ours)
+
+    # INTERLEAVED best-of-N: ours and the HF baseline alternate within each
+    # round, so shared-host noise (which drifts over seconds) hits both
+    # sides equally instead of whichever ran second — the same protocol the
+    # transfer bench uses. Spread (max/min per side) is reported so a noisy
+    # capture is visible in the artifact instead of silently moving the
+    # headline (BENCH_r03→r04 drifted 50.6→47.5 MB/s without it).
+    rounds = 5
+    our_times, hf_times = [], []
+    our_ids = None
+    hf_encodings = None
     if fast is not None:
-        fast.encode_batch(texts[:64], add_special_tokens=False)  # warm cache build
-        our_time = float("inf")
-        for _ in range(3):  # best-of-3: the shared host is noisy
+        fast.encode_batch(texts[:64], add_special_tokens=False)  # warm cache
+    hf.encode_batch(texts[:64], add_special_tokens=False)
+    for _ in range(rounds):
+        if fast is not None:
             t0 = time.time()
             ids_arr, mask_arr = fast.encode_batch(texts, add_special_tokens=False)
-            our_time = min(our_time, time.time() - t0)
-        our_ids = [list(ids_arr[i][mask_arr[i] == 1]) for i in range(len(texts))]
-    else:
-        t0 = time.time()
-        our_ids = [e.ids for e in ours.encode_batch(texts, add_special_tokens=False)]
-        our_time = time.time() - t0
-
-    hf_time = float("inf")
-    for _ in range(3):
+            our_times.append(time.time() - t0)
+            our_ids = [
+                list(ids_arr[i][mask_arr[i] == 1]) for i in range(len(texts))
+            ]
+        else:
+            t0 = time.time()
+            our_ids = [
+                e.ids for e in ours.encode_batch(texts, add_special_tokens=False)
+            ]
+            our_times.append(time.time() - t0)
         t0 = time.time()
         hf_encodings = hf.encode_batch(texts, add_special_tokens=False)
-        hf_time = min(hf_time, time.time() - t0)
+        hf_times.append(time.time() - t0)
 
+    our_time = min(our_times)
+    hf_time = min(hf_times)
     n_match = sum(1 for a, b in zip(our_ids, hf_encodings) if list(a) == b.ids)
     exact_match = n_match / len(texts)
 
     return {
         "bytes_per_s": n_bytes / our_time,
         "hf_bytes_per_s": n_bytes / hf_time,
+        "bytes_per_s_spread": round(max(our_times) / min(our_times), 3),
+        "hf_bytes_per_s_spread": round(max(hf_times) / min(hf_times), 3),
         "exact_match": exact_match,
         "sample_time_s": sample_time,
         "n_bytes": n_bytes,
@@ -263,14 +280,25 @@ def bench_device_retokenize(texts, pieces_chars, scores):
     # the kernel could differ). Scalar-fetch barrier as above; ~15ms
     # dispatch overhead affects both identically.
     #
-    # OPT-IN (BENCH_PALLAS=1): remote-tunnel Mosaic compiles hang
-    # unpredictably at some batch shapes, and the driver-run bench must
-    # never hang. The bench JSON carries only numbers THIS run produced;
-    # previously-measured v5e values live in PARITY.md prose.
+    # Runs by DEFAULT with a watchdog (opt out: BENCH_PALLAS=0). The r4
+    # worry was remote-tunnel Mosaic compiles hanging the driver bench;
+    # the remote compile is an interruptible HTTP call, so a SIGALRM
+    # deadline turns a hang into a recorded timeout error instead of a
+    # stuck driver. The bench JSON carries only numbers THIS run produced.
     import os as _os
+    import signal as _signal
 
-    if _os.environ.get("BENCH_PALLAS") != "1":
-        return _finish({"skipped": "set BENCH_PALLAS=1"})
+    if _os.environ.get("BENCH_PALLAS") == "0":
+        return _finish({"skipped": "BENCH_PALLAS=0"})
+
+    class _Deadline(Exception):
+        pass
+
+    def _on_alarm(signum, frame):
+        raise _Deadline("pallas compile/run exceeded 180s watchdog")
+
+    prev_alarm = _signal.signal(_signal.SIGALRM, _on_alarm)
+    _signal.alarm(180)
     try:
         from functools import partial as _partial
 
@@ -336,6 +364,9 @@ def bench_device_retokenize(texts, pieces_chars, scores):
         }
     except Exception as e:  # noqa: BLE001 - explicit-kernel path optional
         pallas_vs_scan = {"error": str(e)[:160]}
+    finally:
+        _signal.alarm(0)
+        _signal.signal(_signal.SIGALRM, prev_alarm)
     return _finish(pallas_vs_scan)
 
 

@@ -123,6 +123,9 @@ def main(argv=None):
                     help="chunked linear-CE position-chunk size (0 = full logits)")
     ap.add_argument("--batch", type=int, default=0,
                     help="override the LM batch size")
+    ap.add_argument("--trace", action="store_true",
+                    help="capture a 3-step device trace and print an "
+                    "op-bucket summary line")
     ap.add_argument("--sweep", action="store_true",
                     help="run the full {batch} x {levers} grid, one subprocess "
                     "each, and write the table to train_step_bench.json")
@@ -206,11 +209,23 @@ def main(argv=None):
     }
     dev_batch = trainer._device_batch(batch)
 
+    # AOT lower+compile once: the SAME executable provides the XLA cost
+    # analysis (exact per-config FLOPs for MFU) and runs the steps — no
+    # second compile through the tunnel
     t0 = time.time()
-    state, metrics = trainer.train_step(trainer.state, dev_batch)
+    lowered = trainer.train_step.lower(trainer.state, dev_batch)
+    compiled = lowered.compile()
+    try:
+        ca = compiled.cost_analysis()
+        ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+        step_flops = float(ca.get("flops", 0.0))
+    except Exception:  # noqa: BLE001 — cost analysis is best-effort
+        step_flops = 0.0
+    state, metrics = compiled(trainer.state, dev_batch)
     jax.block_until_ready(state.params)
     compile_s = time.time() - t0
     trainer.state = state
+    trainer.train_step = compiled
 
     best = float("inf")
     for _ in range(args.steps):
@@ -221,11 +236,46 @@ def main(argv=None):
         best = min(best, time.time() - t0)
         trainer.state = state
 
+    if args.trace:
+        import tempfile
+
+        logdir = tempfile.mkdtemp(prefix="train_trace_")
+        with jax.profiler.trace(logdir):
+            for _ in range(3):
+                state, metrics = trainer.train_step(trainer.state, dev_batch)
+                float(metrics["loss"])
+                trainer.state = state
+        sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "experiments"))
+        os.environ.setdefault("PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION", "python")
+        from trace_hypernet import parse_xplane
+
+        summary = parse_xplane(logdir, 3)
+        print(json.dumps({
+            "trace_busy_ms": round(summary["device_busy_ms_per_run"], 1),
+            "trace_buckets": {k: round(v, 1) for k, v in summary["buckets_ms_per_run"].items()},
+            "trace_top": [
+                (n.split(" = ")[0], round(v, 1))
+                for n, v in summary["top_ops_ms_per_run"][:10]
+            ],
+        }))
+
+    # MFU: XLA-counted step FLOPs / wall / chip peak. v5e peak is 197
+    # TFLOP/s bf16 (394 int8); other chips fall back to reporting raw
+    # TFLOP/s only.
+    device_kind = jax.devices()[0].device_kind
+    peak = 197e12 if "v5 lite" in device_kind else None
+    tflops_per_s = step_flops / best / 1e12 if step_flops else None
     result = {
         "metric": "train step ms (gpt2-small shape, 32k vocab rows)",
         "step_ms": round(best * 1000, 1),
         "tokens_per_s": round(B * L / best, 1),
         "vocab_rows_per_s": round(V / best, 1),
+        "step_tflops": round(step_flops / 1e12, 2) if step_flops else None,
+        "tflops_per_s": round(tflops_per_s, 1) if tflops_per_s else None,
+        "mfu": (
+            round(tflops_per_s * 1e12 / peak, 4)
+            if tflops_per_s and peak else None
+        ),
         "compile_s": round(compile_s, 1),
         "loss": round(loss, 4),
         "batch": B, "block": L, "vocab_rows": V,

@@ -21,6 +21,61 @@ import time
 os.environ.setdefault("PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION", "python")
 
 
+def parse_xplane(logdir: str, n_exec: int):
+    """Parse the newest xplane proto under logdir: per-op totals on the
+    device 'XLA Ops' line, bucketed, plus union busy time — all divided by
+    n_exec runs."""
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2
+
+    paths = glob.glob(os.path.join(logdir, "**", "*.xplane.pb"), recursive=True)
+    xs = xplane_pb2.XSpace()
+    xs.ParseFromString(open(sorted(paths)[-1], "rb").read())
+    planes = [p for p in xs.planes if re.search(r"TPU", p.name) and "device" in p.name.lower()]
+    if not planes:
+        planes = [p for p in xs.planes if re.search(r"/device:TPU:\d+$", p.name)]
+    plane = planes[0]
+    per_op = {}
+    spans = []
+    for line in plane.lines:
+        if "XLA Ops" not in line.name:
+            continue
+        for ev in line.events:
+            meta = plane.event_metadata[ev.metadata_id]
+            per_op[meta.name] = per_op.get(meta.name, 0.0) + ev.duration_ps / 1e9
+            spans.append((ev.offset_ps, ev.offset_ps + ev.duration_ps))
+    spans.sort()
+    busy = 0
+    cur_s = cur_e = None
+    for s, e in spans:
+        if cur_e is None or s > cur_e:
+            if cur_e is not None:
+                busy += cur_e - cur_s
+            cur_s, cur_e = s, e
+        else:
+            cur_e = max(cur_e, e)
+    if cur_e is not None:
+        busy += cur_e - cur_s
+    buckets = {"matmul": 0.0, "copy": 0.0, "fusion": 0.0,
+               "custom-call(pallas)": 0.0, "other": 0.0}
+    for name, ms in per_op.items():
+        if re.match(r"%?(convolution|dot)", name):
+            buckets["matmul"] += ms
+        elif name.startswith("%copy") or "copy" in name.split(".")[0]:
+            buckets["copy"] += ms
+        elif "custom-call" in name or "tpu_custom_call" in name or "pallas" in name:
+            buckets["custom-call(pallas)"] += ms
+        elif name.startswith("%fusion") or "fusion" in name.split(".")[0]:
+            buckets["fusion"] += ms
+        else:
+            buckets["other"] += ms
+    top = sorted(per_op.items(), key=lambda kv: -kv[1])[:15]
+    return {
+        "device_busy_ms_per_run": busy / 1e9 / n_exec,
+        "buckets_ms_per_run": {k: v / n_exec for k, v in buckets.items()},
+        "top_ops_ms_per_run": [(n, v / n_exec) for n, v in top],
+    }
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--pallas", default="auto")

@@ -163,3 +163,73 @@ def test_encoder_layer_reference_matches_module():
         "params/output_ln/scale", "params/output_ln/bias",
     }
     assert set(names) == expected, set(names) ^ expected
+
+
+@pytest.mark.parametrize("masked", [True, False])
+def test_attention_block_fused_grads_match_reference(masked):
+    """The hand-written plane-free backward (custom_vjp) must match
+    jax.grad of the reference for every input (f32, CPU fallback path —
+    the same math the TPU kernels implement)."""
+    from zett_tpu.ops.pallas_attention import attention_block_fused
+
+    B, L, H, NH = 12, 7, 128, 2
+    rng = np.random.default_rng(5)
+    f = lambda sh, s=0.2: jnp.asarray(rng.normal(size=sh).astype(np.float32) * s)
+    x = f((B, L, H), 1.0)
+    maskf = (
+        jnp.asarray((rng.random((B, L)) > 0.2).astype(np.float32))
+        .at[:, 0].set(1.0)
+        if masked else jnp.ones((B, L), jnp.float32)
+    )
+    kbias0 = jnp.zeros((B, L), jnp.float32)
+    ws = [f((H, H)) for _ in range(4)]
+    bs = [f((H,), 0.05) for _ in range(4)]
+    cot = f((B, L, H), 1.0)
+
+    def loss_fused(x_, *wb):
+        return (attention_block_fused(
+            x_, maskf, kbias0, *wb, NH, masked, False) * cot).sum()
+
+    def loss_ref(x_, *wb):
+        return (attention_block_reference(
+            x_, maskf > 0 if masked else None, None, *wb, NH) * cot).sum()
+
+    args = (x, ws[0], bs[0], ws[1], bs[1], ws[2], bs[2], ws[3], bs[3])
+    g_f = jax.grad(loss_fused, argnums=tuple(range(9)))(*args)
+    g_r = jax.grad(loss_ref, argnums=tuple(range(9)))(*args)
+    for i, (a, b) in enumerate(zip(g_f, g_r)):
+        err = float(jnp.max(jnp.abs(a - b)))
+        scale = float(jnp.max(jnp.abs(b))) + 1e-9
+        assert err / scale < 1e-4, (i, err, scale)
+
+
+def test_encoder_layer_fused_grads_match_reference():
+    from zett_tpu.ops.pallas_attention import encoder_layer_fused
+
+    B, L, H, I, NH = 8, 7, 128, 256, 2
+    rng = np.random.default_rng(6)
+    f = lambda sh, s=0.2: jnp.asarray(rng.normal(size=sh).astype(np.float32) * s)
+    x = f((B, L, H), 1.0)
+    maskf = jnp.asarray((rng.random((B, L)) > 0.2).astype(np.float32)).at[:, 0].set(1.0)
+    ws = [f((H, H)) for _ in range(4)]
+    bs = [f((H,), 0.05) for _ in range(4)]
+    w1, b1, w2, b2 = f((H, I)), f((I,), 0.05), f((I, H)), f((H,), 0.05)
+    lns, lnb = f((H,), 0.1) + 1.0, f((H,), 0.1)
+    cot = f((B, L, H), 1.0)
+    flat = (x, ws[0], bs[0], ws[1], bs[1], ws[2], bs[2], ws[3], bs[3],
+            lns, lnb, w1, b1, w2, b2, lns, lnb)
+
+    def loss_fused(*a):
+        return (encoder_layer_fused(
+            a[0], maskf, *a[1:], NH, 1e-12, True, True) * cot).sum()
+
+    def loss_ref(*a):
+        return (encoder_layer_reference(
+            a[0], maskf > 0, *a[1:], NH, 1e-12, True) * cot).sum()
+
+    g_f = jax.grad(loss_fused, argnums=tuple(range(len(flat))))(*flat)
+    g_r = jax.grad(loss_ref, argnums=tuple(range(len(flat))))(*flat)
+    for i, (a, b) in enumerate(zip(g_f, g_r)):
+        err = float(jnp.max(jnp.abs(a - b)))
+        scale = float(jnp.max(jnp.abs(b))) + 1e-9
+        assert err / scale < 1e-4, (i, err, scale)

@@ -92,6 +92,11 @@ _lib.uni_expected_counts.argtypes = [
     ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
     ctypes.c_void_p, ctypes.c_void_p,
 ]
+_lib.uni_expected_counts_threaded.restype = ctypes.c_double
+_lib.uni_expected_counts_threaded.argtypes = [
+    ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+    ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32,
+]
 _lib.count_substrings.restype = ctypes.c_void_p
 _lib.count_substrings.argtypes = [
     ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
@@ -304,8 +309,10 @@ class NativeUnigram:
         data, offsets = _concat_bytes(pretokens)
         w = np.asarray(weights, dtype=np.float64)
         counts = np.zeros(n_pieces, dtype=np.float64)
-        ll = _lib.uni_expected_counts(
-            self._handle, _ptr(data), _ptr(offsets), len(pretokens), _ptr(w), _ptr(counts)
+        n_threads = min(os.cpu_count() or 1, 16)
+        ll = _lib.uni_expected_counts_threaded(
+            self._handle, _ptr(data), _ptr(offsets), len(pretokens), _ptr(w),
+            _ptr(counts), n_pieces, n_threads,
         )
         return counts, float(ll)
 

@@ -425,16 +425,66 @@ void uni_score_batch(void* handle, const uint8_t* text, const int64_t* offsets,
 // replacement for the sentencepiece trainer's inner loop). For each weighted
 // pretoken, accumulates the posterior expected count of every piece into
 // out_counts and returns the total weighted log-likelihood.
+static double uni_expected_counts_range(UnigramModel* m, const uint8_t* text,
+                                        const int64_t* offsets, int64_t lo,
+                                        int64_t hi, const double* weights,
+                                        double* out_counts);
+
 double uni_expected_counts(void* handle, const uint8_t* text,
                            const int64_t* offsets, int64_t n_pretokens,
                            const double* weights, double* out_counts) {
+  return uni_expected_counts_range((UnigramModel*)handle, text, offsets, 0,
+                                   n_pretokens, weights, out_counts);
+}
+
+// Threaded E-step: pretokens are embarrassingly parallel — shard across
+// threads, each accumulating into its OWN counts vector (size vocab_size),
+// then merge. Same pattern as uni_encode_batch_threaded.
+double uni_expected_counts_threaded(void* handle, const uint8_t* text,
+                                    const int64_t* offsets,
+                                    int64_t n_pretokens,
+                                    const double* weights, double* out_counts,
+                                    int64_t vocab_size, int32_t n_threads) {
   auto* m = (UnigramModel*)handle;
+  if (n_threads <= 1 || n_pretokens < 256) {
+    return uni_expected_counts_range(m, text, offsets, 0, n_pretokens,
+                                     weights, out_counts);
+  }
+  std::vector<std::vector<double>> counts((size_t)n_threads);
+  std::vector<double> lls((size_t)n_threads, 0.0);
+  std::vector<std::thread> workers;
+  int64_t chunk = (n_pretokens + n_threads - 1) / n_threads;
+  auto work = [&](int t) {
+    int64_t lo = (int64_t)t * chunk;
+    int64_t hi = std::min(n_pretokens, lo + chunk);
+    if (lo >= hi) return;
+    counts[(size_t)t].assign((size_t)vocab_size, 0.0);
+    lls[(size_t)t] = uni_expected_counts_range(
+        m, text, offsets, lo, hi, weights, counts[(size_t)t].data());
+  };
+  for (int t = 0; t < n_threads; ++t) workers.emplace_back(work, t);
+  for (auto& w : workers) w.join();
+  double total_ll = 0.0;
+  for (int t = 0; t < n_threads; ++t) {
+    total_ll += lls[(size_t)t];
+    if (!counts[(size_t)t].empty()) {
+      const double* src = counts[(size_t)t].data();
+      for (int64_t i = 0; i < vocab_size; ++i) out_counts[i] += src[i];
+    }
+  }
+  return total_ll;
+}
+
+static double uni_expected_counts_range(UnigramModel* m, const uint8_t* text,
+                                        const int64_t* offsets, int64_t lo,
+                                        int64_t hi, const double* weights,
+                                        double* out_counts) {
   constexpr double NEG = -std::numeric_limits<double>::infinity();
   double total_ll = 0.0;
   std::vector<double> alpha, beta;
   struct Edge { int32_t begin, end, pid; double score; };
   std::vector<Edge> edges;
-  for (int64_t t = 0; t < n_pretokens; ++t) {
+  for (int64_t t = lo; t < hi; ++t) {
     const uint8_t* s = text + offsets[t];
     size_t n = (size_t)(offsets[t + 1] - offsets[t]);
     if (n == 0) continue;

@@ -26,10 +26,9 @@ from flax import linen as nn
 
 from ..constants import EPSILON
 from ..ops.pallas_attention import (
-    attention_block_pallas,
-    attention_block_reference,
-    encoder_layer_pallas,
-    encoder_layer_reference,
+    attention_block_fused,
+    encoder_layer_fused,
+    merged_attention_train,
     pallas_attention_available,
 )
 
@@ -187,6 +186,28 @@ def _merged_head_attention(q, k, v, key_bias, head_bias, num_heads, dtype,
     qm = q.reshape(B, Lq * h, d)
     km = k.reshape(B, Lk * h, d)
     vm = v.reshape(B, Lk * h, d)
+    if (
+        key_bias is None
+        and head_bias is None
+        and key_mask is not None
+        and d % 64 == 0
+        and pallas_attention_available("core_vjp")
+    ):
+        # differentiable fused core (custom_vjp, Pallas fwd+bwd): the
+        # score plane stays in VMEM in both directions and is never a
+        # residual — this is the train-step path (the r4 trace's largest
+        # line is the HBM-bound plane). Dropout runs in-core, seeded from
+        # the step rng (deterministic ⇒ bit-identical resume; a different
+        # equally-distributed stream than the XLA path's bernoulli).
+        rate = 0.0 if (deterministic or rng is None) else float(dropout_rate)
+        seed = (
+            jax.random.randint(rng, (), 0, 2**31 - 1, dtype=jnp.int32)
+            if rate > 0.0
+            else jnp.zeros((), jnp.int32)
+        )
+        kmaskf = jnp.repeat(key_mask, h, axis=-1).astype(jnp.float32)
+        out = merged_attention_train(qm, km, vm, kmaskf, seed, h, rate)
+        return out.reshape(B, Lq, H)
     scores = jnp.einsum("bqd,bkd->bqk", qm, km)
     scores = scores / jnp.sqrt(d).astype(scores.dtype)
     if key_bias is not None:
@@ -372,18 +393,26 @@ class Attention(nn.Module):
         )
         if fused_ok:
             # whole attention block in one VMEM-resident Pallas program
-            # (ops/pallas_attention.py); the non-TPU branch of the SAME
+            # (ops/pallas_attention.py), differentiable (custom_vjp with an
+            # XLA-reference recompute backward — the train step runs the
+            # hypernet deterministically); the non-TPU branch of the SAME
             # trace runs the numerically-matching XLA formulation, so
             # CPU-executed init / virtual-mesh tests never meet Mosaic
-            args = (hidden_states, key_mask, key_bias,
-                    wq, bq, wk, bk, wv, bv, wo, bo)
-            return jax.lax.platform_dependent(
-                tpu=lambda: attention_block_pallas(
-                    *args, num_heads=cfg.num_attention_heads
-                ),
-                default=lambda: attention_block_reference(
-                    *args, cfg.num_attention_heads
-                ),
+            B, Lx = hidden_states.shape[:2]
+            maskf = (
+                key_mask.astype(jnp.float32)
+                if key_mask is not None
+                else jnp.ones((B, Lx), jnp.float32)
+            )
+            kb = (
+                key_bias.astype(hidden_states.dtype)
+                if key_bias is not None
+                else jnp.zeros((B, Lx), hidden_states.dtype)
+            )
+            return attention_block_fused(
+                hidden_states, maskf, kb, wq, bq, wk, bk, wv, bv, wo, bo,
+                cfg.num_attention_heads, key_mask is not None,
+                key_bias is not None,
             )
 
         def project(w, b, x):
@@ -465,23 +494,18 @@ class EncoderLayer(nn.Module):
                 p.astype(dt)
                 for p in (wq, bq, wk, bk, wv, bv, wo, bo, w1, b1, w2, b2)
             )
-            mask = (
-                attention_mask.astype(bool)
+            B, Lx = hidden_states.shape[:2]
+            maskf = (
+                attention_mask.astype(jnp.float32)
                 if attention_mask is not None
-                else None
+                else jnp.ones((B, Lx), jnp.float32)
             )
-            args = (hidden_states, mask, wq, bq, wk, bk, wv, bv, wo, bo,
-                    ln1_s, ln1_b, w1, b1, w2, b2, ln2_s, ln2_b)
             approx = cfg.hidden_act != "gelu"
-            h = jax.lax.platform_dependent(
-                tpu=lambda: encoder_layer_pallas(
-                    *args, num_heads=cfg.num_attention_heads,
-                    eps=cfg.layer_norm_eps, approximate_gelu=approx,
-                ),
-                default=lambda: encoder_layer_reference(
-                    *args, cfg.num_attention_heads, cfg.layer_norm_eps,
-                    approx,
-                ),
+            h = encoder_layer_fused(
+                hidden_states, maskf, wq, bq, wk, bk, wv, bv, wo, bo,
+                ln1_s, ln1_b, w1, b1, w2, b2, ln2_s, ln2_b,
+                cfg.num_attention_heads, cfg.layer_norm_eps, approx,
+                attention_mask is not None,
             )
             return self._adapter_tail(h, lang_index, deterministic)
 

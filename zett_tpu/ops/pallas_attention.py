@@ -166,6 +166,299 @@ def merged_attention_pallas(qm, km, vm, kmask=None, kbias=None, *,
 
 
 # ---------------------------------------------------------------------------
+# Differentiable merged-head core (training path): custom_vjp with Pallas
+# forward AND backward kernels. Flash-attention-style for the hypernet's
+# regime — the (B, L·h, L·h) score plane lives only in VMEM in BOTH
+# directions and the softmax weights are never saved as residuals (the
+# backward kernel recomputes them from q/k/v). On the r4 train-step trace
+# the plane's scale/mask/softmax fusions are the largest line
+# (266 ms/step at batch 128: fwd + remat recompute + bwd all re-stream the
+# (32896,84,84) tensor through HBM); this kernel removes that traffic and
+# the residual memory.
+#
+# Dropout runs IN-KERNEL with the Mosaic PRNG, seeded per (call, grid
+# tile): forward and backward regenerate the identical keep mask from the
+# same seed, so gradients are exact for the sampled mask. The stream
+# differs from jax.random.bernoulli's, so a Pallas-core run is a different
+# (equally distributed) draw than an XLA-path run — but it is
+# deterministic given the training rng, which preserves bit-identical
+# checkpoint resume. prng_random_bits yields int32: a keep-probability p
+# maps to the signed threshold round(p*2^32) - 2^31 (uniform over the full
+# signed range).
+# ---------------------------------------------------------------------------
+
+
+def _dropout_threshold(rate: float) -> int:
+    keep = 1.0 - rate
+    return int(min(2**32 - 1, round(keep * 2**32))) - 2**31
+
+
+def _core_train_fwd_kernel(seed_ref, qm_ref, km_ref, vm_ref, kmask_ref,
+                           out_ref, *, num_heads: int, rate: float):
+    from jax.experimental.pallas import tpu as pltpu
+
+    dtype = qm_ref.dtype
+    qm = qm_ref[:]
+    km = km_ref[:]
+    TB, Lqh, d = qm.shape
+    Lkh = km.shape[1]
+    scores = jax.lax.dot_general(
+        qm, km, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ).astype(dtype)
+    scores = scores / jnp.sqrt(d).astype(dtype)
+    h = num_heads
+    rq = jax.lax.broadcasted_iota(jnp.int32, (Lqh, Lkh), 0) % h
+    rk = jax.lax.broadcasted_iota(jnp.int32, (Lqh, Lkh), 1) % h
+    valid = (rq == rk)[None] & (kmask_ref[:] > 0)[:, None, :]
+    scores = jnp.where(valid, scores, jnp.finfo(dtype).min)
+    s32 = scores.astype(jnp.float32)
+    m = jnp.max(s32, axis=-1, keepdims=True)
+    e = jnp.exp(s32 - m)
+    weights = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(dtype)
+    if rate > 0.0:
+        import jax.experimental.pallas as pl
+
+        pltpu.prng_seed(seed_ref[0], pl.program_id(0))
+        bits = pltpu.prng_random_bits((TB, Lqh, Lkh))
+        keep = bits < jnp.int32(_dropout_threshold(rate))
+        weights = jnp.where(
+            keep, weights / jnp.asarray(1.0 - rate, dtype),
+            jnp.asarray(0.0, dtype),
+        )
+    out_ref[:] = jax.lax.dot_general(
+        weights, vm_ref[:], (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ).astype(dtype)
+
+
+def _core_train_bwd_kernel(seed_ref, qm_ref, km_ref, vm_ref, kmask_ref,
+                           dout_ref, dqm_ref, dkm_ref, dvm_ref, *,
+                           num_heads: int, rate: float):
+    from jax.experimental.pallas import tpu as pltpu
+
+    dtype = qm_ref.dtype
+    qm = qm_ref[:]
+    km = km_ref[:]
+    dout = dout_ref[:]
+    TB, Lqh, d = qm.shape
+    Lkh = km.shape[1]
+    inv_sqrt_d = (1.0 / np.sqrt(d)).astype(np.float32)
+    # recompute the softmax weights (identical op order to forward)
+    scores = jax.lax.dot_general(
+        qm, km, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ).astype(dtype)
+    scores = scores / jnp.sqrt(d).astype(dtype)
+    h = num_heads
+    rq = jax.lax.broadcasted_iota(jnp.int32, (Lqh, Lkh), 0) % h
+    rk = jax.lax.broadcasted_iota(jnp.int32, (Lqh, Lkh), 1) % h
+    valid = (rq == rk)[None] & (kmask_ref[:] > 0)[:, None, :]
+    scores = jnp.where(valid, scores, jnp.finfo(dtype).min)
+    s32 = scores.astype(jnp.float32)
+    m = jnp.max(s32, axis=-1, keepdims=True)
+    e = jnp.exp(s32 - m)
+    w = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(dtype)
+    if rate > 0.0:
+        import jax.experimental.pallas as pl
+
+        pltpu.prng_seed(seed_ref[0], pl.program_id(0))
+        bits = pltpu.prng_random_bits((TB, Lqh, Lkh))
+        keep = bits < jnp.int32(_dropout_threshold(rate))
+        scale = jnp.asarray(1.0 / (1.0 - rate), dtype)
+        wd = jnp.where(keep, w * scale, jnp.asarray(0.0, dtype))
+    else:
+        wd = w
+    # dvm = wd^T · dout  (contract the query axis)
+    dvm_ref[:] = jax.lax.dot_general(
+        wd, dout, (((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ).astype(dtype)
+    # d(wd) = dout · vm^T
+    dwd = jax.lax.dot_general(
+        dout, vm_ref[:], (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )  # (TB, Lqh, Lkh) f32
+    if rate > 0.0:
+        dw = jnp.where(keep, dwd * jnp.float32(1.0 / (1.0 - rate)),
+                       jnp.float32(0.0))
+    else:
+        dw = dwd
+    # softmax backward in f32: ds = w * (dw - sum_k dw*w)
+    w32 = w.astype(jnp.float32)
+    ds = w32 * (dw - jnp.sum(dw * w32, axis=-1, keepdims=True))
+    ds = (ds * inv_sqrt_d).astype(dtype)
+    dqm_ref[:] = jax.lax.dot_general(
+        ds, km, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ).astype(dtype)
+    dkm_ref[:] = jax.lax.dot_general(
+        ds, qm, (((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ).astype(dtype)
+
+
+def _core_train_tiles(B, Lqh, Lkh, d, itemsize, n_planes):
+    per_row = (3 * Lkh + Lqh) * d * itemsize + n_planes * Lqh * Lkh * 4
+    budget = 6 * 1024 * 1024
+    tile = 8
+    while tile * 2 <= 256 and (tile * 2) * per_row <= budget:
+        tile *= 2
+    return tile
+
+
+def _core_train_fwd_pallas(qm, km, vm, kmaskf, seed, num_heads, rate,
+                           interpret=False):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, Lqh, d = qm.shape
+    Lkh = km.shape[1]
+    dtype = qm.dtype
+    tile_b = _core_train_tiles(B, Lqh, Lkh, d, np.dtype(dtype).itemsize, 3)
+    pad = (-B) % tile_b
+    if pad:
+        qm, km, vm = (jnp.pad(a, ((0, pad), (0, 0), (0, 0)))
+                      for a in (qm, km, vm))
+        kmaskf = jnp.pad(kmaskf, ((0, pad), (0, 0)))
+    Bp = B + pad
+    q_spec = pl.BlockSpec((tile_b, Lqh, d), lambda i: (i, 0, 0),
+                          memory_space=pltpu.VMEM)
+    kv_spec = pl.BlockSpec((tile_b, Lkh, d), lambda i: (i, 0, 0),
+                           memory_space=pltpu.VMEM)
+    m_spec = pl.BlockSpec((tile_b, Lkh), lambda i: (i, 0),
+                          memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_core_train_fwd_kernel, num_heads=num_heads,
+                          rate=rate),
+        out_shape=jax.ShapeDtypeStruct((Bp, Lqh, d), dtype),
+        grid=(Bp // tile_b,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  q_spec, kv_spec, kv_spec, m_spec],
+        out_specs=q_spec,
+        interpret=interpret,
+    )(seed.reshape(1), qm, km, vm, kmaskf)
+    return out[:B] if pad else out
+
+
+def _core_train_bwd_pallas(qm, km, vm, kmaskf, seed, dout, num_heads, rate,
+                           interpret=False):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, Lqh, d = qm.shape
+    Lkh = km.shape[1]
+    dtype = qm.dtype
+    tile_b = _core_train_tiles(B, Lqh, Lkh, d, np.dtype(dtype).itemsize, 5)
+    pad = (-B) % tile_b
+    if pad:
+        qm, km, vm, dout = (jnp.pad(a, ((0, pad), (0, 0), (0, 0)))
+                            for a in (qm, km, vm, dout))
+        kmaskf = jnp.pad(kmaskf, ((0, pad), (0, 0)))
+    Bp = B + pad
+    q_spec = pl.BlockSpec((tile_b, Lqh, d), lambda i: (i, 0, 0),
+                          memory_space=pltpu.VMEM)
+    kv_spec = pl.BlockSpec((tile_b, Lkh, d), lambda i: (i, 0, 0),
+                           memory_space=pltpu.VMEM)
+    m_spec = pl.BlockSpec((tile_b, Lkh), lambda i: (i, 0),
+                          memory_space=pltpu.VMEM)
+    dqm, dkm, dvm = pl.pallas_call(
+        functools.partial(_core_train_bwd_kernel, num_heads=num_heads,
+                          rate=rate),
+        out_shape=[
+            jax.ShapeDtypeStruct((Bp, Lqh, d), dtype),
+            jax.ShapeDtypeStruct((Bp, Lkh, d), dtype),
+            jax.ShapeDtypeStruct((Bp, Lkh, d), dtype),
+        ],
+        grid=(Bp // tile_b,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  q_spec, kv_spec, kv_spec, m_spec, q_spec],
+        out_specs=[q_spec, kv_spec, kv_spec],
+        interpret=interpret,
+    )(seed.reshape(1), qm, km, vm, kmaskf, dout)
+    if pad:
+        dqm, dkm, dvm = dqm[:B], dkm[:B], dvm[:B]
+    return dqm, dkm, dvm
+
+
+def _core_train_fallback(qm, km, vm, kmaskf, seed, num_heads, rate):
+    """Differentiable non-TPU branch: identical math with a seeded
+    jax.random dropout mask (a different — equally distributed — stream
+    than the Mosaic PRNG; each platform is internally fwd/bwd-consistent)."""
+    out = merged_attention_reference(qm, km, vm, kmaskf > 0, None, num_heads)
+    if rate > 0.0:
+        # reference semantics: mask the softmax weights. Recreate them to
+        # apply dropout exactly as _merged_head_attention does.
+        h = num_heads
+        d = qm.shape[-1]
+        dtype = qm.dtype
+        scores = jnp.einsum("bqd,bkd->bqk", qm, km)
+        scores = scores / jnp.sqrt(d).astype(scores.dtype)
+        same_head = (
+            (jnp.arange(qm.shape[1]) % h)[:, None]
+            == (jnp.arange(km.shape[1]) % h)[None, :]
+        )
+        valid = same_head[None] & (kmaskf > 0)[:, None, :]
+        scores = jnp.where(valid, scores, jnp.finfo(scores.dtype).min)
+        w = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(dtype)
+        key = jax.random.fold_in(jax.random.PRNGKey(0), seed.astype(jnp.uint32))
+        keep = jax.random.bernoulli(key, 1.0 - rate, w.shape)
+        w = jnp.where(keep, w / jnp.asarray(1.0 - rate, dtype),
+                      jnp.asarray(0.0, dtype))
+        out = jnp.einsum("bqk,bkd->bqd", w, vm)
+    return out
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def merged_attention_train(qm, km, vm, kmaskf, seed, num_heads, rate):
+    """Differentiable merged-head attention core with in-core dropout.
+
+    qm (B, Lh, d), km/vm (B, Lh, d), kmaskf (B, Lh) f32 {0,1}, seed ()
+    int32. Gradients flow to qm/km/vm only."""
+    out, _ = _merged_attention_train_fwd(qm, km, vm, kmaskf, seed,
+                                         num_heads, rate)
+    return out
+
+
+def _merged_attention_train_fwd(qm, km, vm, kmaskf, seed, num_heads, rate):
+    out = jax.lax.platform_dependent(
+        tpu=lambda: _core_train_fwd_pallas(
+            qm, km, vm, kmaskf, seed, num_heads, rate
+        ),
+        default=lambda: _core_train_fallback(
+            qm, km, vm, kmaskf, seed, num_heads, rate
+        ),
+    )
+    return out, (qm, km, vm, kmaskf, seed)
+
+
+def _merged_attention_train_bwd(num_heads, rate, res, dout):
+    qm, km, vm, kmaskf, seed = res
+
+    def fallback():
+        _, vjp = jax.vjp(
+            lambda q, k, v: _core_train_fallback(
+                q, k, v, kmaskf, seed, num_heads, rate
+            ),
+            qm, km, vm,
+        )
+        return vjp(dout)
+
+    dqm, dkm, dvm = jax.lax.platform_dependent(
+        tpu=lambda: _core_train_bwd_pallas(
+            qm, km, vm, kmaskf, seed, dout, num_heads, rate
+        ),
+        default=fallback,
+    )
+    return dqm, dkm, dvm, jnp.zeros_like(kmaskf), jnp.zeros_like(seed)
+
+
+merged_attention_train.defvjp(
+    _merged_attention_train_fwd, _merged_attention_train_bwd
+)
+
+
+# ---------------------------------------------------------------------------
 # Full attention BLOCK kernel: q/k/v projections + merged-head core + output
 # projection in ONE VMEM-resident program. The block boundary is then the
 # LayerNorm output (layout-flexible elementwise producer/consumer), so XLA
@@ -310,6 +603,16 @@ def attention_block_pallas(x, mask, kbias, wq, bq, wk, bk, wv, bv, wo, bo, *,
         mask.astype(jnp.float32) if has_mask else jnp.ones((B, L), jnp.float32)
     )
     kbias = kbias if has_bias else jnp.zeros((B, L), dtype)
+    # Mosaic's (TB*L, d) <-> (TB, L, d) sublane regroups need L aligned to
+    # the 8-row sublane tile; pad with MASKED positions (exact: masked keys
+    # contribute exp(min)=0, padded query rows are sliced off below)
+    padL = (-L) % 8
+    if padL:
+        x = jnp.pad(x, ((0, 0), (0, padL), (0, 0)))
+        maskf = jnp.pad(maskf, ((0, 0), (0, padL)))
+        kbias = jnp.pad(kbias, ((0, 0), (0, padL)))
+        has_mask = True
+        L = L + padL
     bq2, bk2, bv2, bo2 = (b.reshape(1, H) for b in (bq, bk, bv, bo))
 
     if tile_b <= 0:
@@ -346,7 +649,9 @@ def attention_block_pallas(x, mask, kbias, wq, bq, wk, bk, wv, bv, wo, bo, *,
         ],
         interpret=interpret,
     )(x, maskf, kbias, wq, bq2, wk, bk2, wv, bv2, wo, bo2)
-    return out[:B] if pad else out
+    if pad:
+        out = out[:B]
+    return out[:, : L - padL] if padL else out
 
 
 # ---------------------------------------------------------------------------
@@ -508,6 +813,14 @@ def encoder_layer_pallas(x, mask, wq, bq, wk, bk, wv, bv, wo, bo,
     maskf = (
         mask.astype(jnp.float32) if has_mask else jnp.ones((B, L), jnp.float32)
     )
+    # L alignment: same masked-position padding as attention_block_pallas
+    # (LayerNorm/FFN are per-position, so padded rows never leak)
+    padL = (-L) % 8
+    if padL:
+        x = jnp.pad(x, ((0, 0), (0, padL), (0, 0)))
+        maskf = jnp.pad(maskf, ((0, 0), (0, padL)))
+        has_mask = True
+        L = L + padL
     bq2, bk2, bv2, bo2, b22 = (b.reshape(1, H) for b in (bq, bk, bv, bo, b2))
     b12 = b1.reshape(1, I)
     ln1s2, ln1b2, ln2s2, ln2b2 = (
@@ -556,7 +869,194 @@ def encoder_layer_pallas(x, mask, wq, bq, wk, bk, wv, bv, wo, bo,
         interpret=interpret,
     )(x, maskf, wq, bq2, wk, bk2, wv, bv2, wo, bo2, ln1s2, ln1b2,
       w1, b12, w2, b22, ln2s2, ln2b2)
-    return out[:B] if pad else out
+    if pad:
+        out = out[:B]
+    return out[:, : L - padL] if padL else out
+
+
+# ---------------------------------------------------------------------------
+# Differentiable wrappers for the inference-fused block/layer: forward is
+# the Pallas kernel (on TPU), backward falls back to jax.vjp of the
+# numerically-matching XLA reference (a recompute — like jax.checkpoint,
+# but with the fused forward). This keeps the fused paths valid under
+# jax.grad: the train step runs the hypernet deterministically by default
+# (engine.py `deterministic=not run_backbone_in_training_mode`), so the
+# deterministic gate alone does NOT imply "no gradients". Residuals are
+# the layer INPUTS only — the score plane and FFN activations are never
+# saved, which also removes their HBM residency from the train step.
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(11, 12, 13))
+def attention_block_fused(x, maskf, kbias, wq, bq, wk, bk, wv, bv, wo, bo,
+                          num_heads, has_mask, has_bias):
+    out, _ = _attention_block_fused_fwd(
+        x, maskf, kbias, wq, bq, wk, bk, wv, bv, wo, bo,
+        num_heads, has_mask, has_bias,
+    )
+    return out
+
+
+def _block_args(maskf, kbias, has_mask, has_bias):
+    mask = (maskf > 0) if has_mask else None
+    kb = kbias if has_bias else None
+    return mask, kb
+
+
+def _attention_block_fused_fwd(x, maskf, kbias, wq, bq, wk, bk, wv, bv, wo,
+                               bo, num_heads, has_mask, has_bias):
+    mask, kb = _block_args(maskf, kbias, has_mask, has_bias)
+    out = jax.lax.platform_dependent(
+        tpu=lambda: attention_block_pallas(
+            x, mask, kb, wq, bq, wk, bk, wv, bv, wo, bo, num_heads=num_heads
+        ),
+        default=lambda: attention_block_reference(
+            x, mask, kb, wq, bq, wk, bk, wv, bv, wo, bo, num_heads
+        ),
+    )
+    return out, (x, maskf, kbias, wq, bq, wk, bk, wv, bv, wo, bo)
+
+
+def _attention_block_fused_bwd(num_heads, has_mask, has_bias, res, dout):
+    """Backward without an HBM score plane: recompute the q/k/v projections
+    (XLA matmuls, roofline), run the Pallas core forward for the context
+    (needed for the out-projection grads) and the Pallas core BACKWARD for
+    dq/dk/dv — the (B, L·h, L·h) plane stays in VMEM in both kernels. The
+    projection/output grads are plain XLA matmuls. The has_bias (priors)
+    variant keeps the reference-vjp fallback (inference-only path)."""
+    x, maskf, kbias, wq, bq, wk, bk, wv, bv, wo, bo = res
+    mask, kb = _block_args(maskf, kbias, has_mask, has_bias)
+    if has_bias:
+        _, vjp = jax.vjp(
+            lambda x_, wq_, bq_, wk_, bk_, wv_, bv_, wo_, bo_:
+            attention_block_reference(
+                x_, mask, kb, wq_, bq_, wk_, bk_, wv_, bv_, wo_, bo_,
+                num_heads,
+            ),
+            x, wq, bq, wk, bk, wv, bv, wo, bo,
+        )
+        dx, dwq, dbq, dwk, dbk, dwv, dbv, dwo, dbo = vjp(dout)
+        return (dx, jnp.zeros_like(maskf), jnp.zeros_like(kbias),
+                dwq, dbq, dwk, dbk, dwv, dbv, dwo, dbo)
+
+    B, L, H = x.shape
+    h = num_heads
+    d = H // h
+    q = x @ wq + bq
+    k = x @ wk + bk
+    v = x @ wv + bv
+    qm = q.reshape(B, L * h, d)
+    km = k.reshape(B, L * h, d)
+    vm = v.reshape(B, L * h, d)
+    kmaskf = jnp.repeat(maskf, h, axis=-1)
+    seed = jnp.zeros((), jnp.int32)
+    ctx_m = jax.lax.platform_dependent(
+        tpu=lambda: _core_train_fwd_pallas(
+            qm, km, vm, kmaskf, seed, num_heads, 0.0
+        ),
+        default=lambda: _core_train_fallback(
+            qm, km, vm, kmaskf, seed, num_heads, 0.0
+        ),
+    )
+    ctx = ctx_m.reshape(B, L, H)
+    # out = ctx @ wo + bo
+    dctx = dout @ wo.T
+    dwo = ctx.reshape(-1, H).T @ dout.reshape(-1, H)
+    dbo = dout.sum(axis=(0, 1))
+    dqm, dkm, dvm = jax.lax.platform_dependent(
+        tpu=lambda: _core_train_bwd_pallas(
+            qm, km, vm, kmaskf, seed, dctx.reshape(B, L * h, d),
+            num_heads, 0.0,
+        ),
+        default=lambda: jax.vjp(
+            lambda q_, k_, v_: _core_train_fallback(
+                q_, k_, v_, kmaskf, seed, num_heads, 0.0
+            ),
+            qm, km, vm,
+        )[1](dctx.reshape(B, L * h, d)),
+    )
+    dq = dqm.reshape(B, L, H)
+    dk = dkm.reshape(B, L, H)
+    dv = dvm.reshape(B, L, H)
+    x2 = x.reshape(-1, H)
+    dx = dq @ wq.T + dk @ wk.T + dv @ wv.T
+    dwq = x2.T @ dq.reshape(-1, H)
+    dwk = x2.T @ dk.reshape(-1, H)
+    dwv = x2.T @ dv.reshape(-1, H)
+    dbq = dq.sum(axis=(0, 1))
+    dbk = dk.sum(axis=(0, 1))
+    dbv = dv.sum(axis=(0, 1))
+    return (dx, jnp.zeros_like(maskf), jnp.zeros_like(kbias),
+            dwq, dbq, dwk, dbk, dwv, dbv, dwo, dbo)
+
+
+attention_block_fused.defvjp(_attention_block_fused_fwd,
+                             _attention_block_fused_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(18, 19, 20, 21))
+def encoder_layer_fused(x, maskf, wq, bq, wk, bk, wv, bv, wo, bo,
+                        ln1_s, ln1_b, w1, b1, w2, b2, ln2_s, ln2_b,
+                        num_heads, eps, approximate_gelu, has_mask):
+    out, _ = _encoder_layer_fused_fwd(
+        x, maskf, wq, bq, wk, bk, wv, bv, wo, bo,
+        ln1_s, ln1_b, w1, b1, w2, b2, ln2_s, ln2_b,
+        num_heads, eps, approximate_gelu, has_mask,
+    )
+    return out
+
+
+def _encoder_layer_fused_fwd(x, maskf, wq, bq, wk, bk, wv, bv, wo, bo,
+                             ln1_s, ln1_b, w1, b1, w2, b2, ln2_s, ln2_b,
+                             num_heads, eps, approximate_gelu, has_mask):
+    mask = (maskf > 0) if has_mask else None
+    out = jax.lax.platform_dependent(
+        tpu=lambda: encoder_layer_pallas(
+            x, mask, wq, bq, wk, bk, wv, bv, wo, bo,
+            ln1_s, ln1_b, w1, b1, w2, b2, ln2_s, ln2_b,
+            num_heads=num_heads, eps=eps,
+            approximate_gelu=approximate_gelu,
+        ),
+        default=lambda: encoder_layer_reference(
+            x, mask, wq, bq, wk, bk, wv, bv, wo, bo,
+            ln1_s, ln1_b, w1, b1, w2, b2, ln2_s, ln2_b,
+            num_heads, eps, approximate_gelu,
+        ),
+    )
+    return out, (x, maskf, wq, bq, wk, bk, wv, bv, wo, bo,
+                 ln1_s, ln1_b, w1, b1, w2, b2, ln2_s, ln2_b)
+
+
+def _encoder_layer_fused_bwd(num_heads, eps, approximate_gelu, has_mask,
+                             res, dout):
+    """Backward via recompute THROUGH the fused attention block: the
+    attention part re-runs as the Pallas block forward and differentiates
+    through attention_block_fused's plane-free backward; the LN/FFN parts
+    (per-position, matmul/elementwise-roofline) differentiate in XLA."""
+    (x, maskf, wq, bq, wk, bk, wv, bv, wo, bo,
+     ln1_s, ln1_b, w1, b1, w2, b2, ln2_s, ln2_b) = res
+    kbias0 = jnp.zeros(x.shape[:2], x.dtype)
+
+    def recompute(x_, wq_, bq_, wk_, bk_, wv_, bv_, wo_, bo_,
+                  ln1_s_, ln1_b_, w1_, b1_, w2_, b2_, ln2_s_, ln2_b_):
+        attn = attention_block_fused(
+            x_, maskf, kbias0, wq_, bq_, wk_, bk_, wv_, bv_, wo_, bo_,
+            num_heads, has_mask, False,
+        )
+        y1 = layer_norm_flax_exact(attn + x_, ln1_s_, ln1_b_, eps, x_.dtype)
+        hmid = _gelu(y1 @ w1_ + b1_, approximate_gelu)
+        ffn = hmid @ w2_ + b2_
+        return layer_norm_flax_exact(ffn + y1, ln2_s_, ln2_b_, eps, x_.dtype)
+
+    _, vjp = jax.vjp(
+        recompute, x, wq, bq, wk, bk, wv, bv, wo, bo,
+        ln1_s, ln1_b, w1, b1, w2, b2, ln2_s, ln2_b,
+    )
+    grads = vjp(dout)
+    return (grads[0], jnp.zeros_like(maskf)) + tuple(grads[1:])
+
+
+encoder_layer_fused.defvjp(_encoder_layer_fused_fwd, _encoder_layer_fused_bwd)
 
 
 # ---------------------------------------------------------------------------
@@ -589,6 +1089,9 @@ def pallas_attention_available(feature: str = "block") -> bool:
     mode = pallas_attention_mode()
     if mode in ("0", "off", "false"):
         return False
+    disabled = os.environ.get("ZETT_PALLAS_DISABLE", "")
+    if feature in {f.strip() for f in disabled.split(",") if f.strip()}:
+        return False
     if feature in _PROBE_RESULT:
         return _PROBE_RESULT[feature]
     try:
@@ -616,6 +1119,15 @@ def pallas_attention_available(feature: str = "block") -> bool:
                     x, mask, w, b, w, b, w, b, w, b, s, z, w, b, w, b, s, z,
                     num_heads=h, eps=1e-12, approximate_gelu=True,
                 )
+            elif feature == "core_vjp":
+                qm = jnp.ones((8, L * h, d), jnp.bfloat16)
+                kmaskf = jnp.ones((8, L * h), jnp.float32)
+                seed = jnp.zeros((), jnp.int32)
+                out = _core_train_fwd_pallas(qm, qm, qm, kmaskf, seed, h, 0.1)
+                outs = _core_train_bwd_pallas(
+                    qm, qm, qm, kmaskf, seed, qm, h, 0.1
+                )
+                jax.block_until_ready(outs)
             else:
                 out = attention_block_pallas(
                     x, mask, None, w, b, w, b, w, b, w, b, num_heads=h

@@ -14,6 +14,7 @@ NamedSharding; each batch is one jit call with static shapes.
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Dict, Optional, Tuple
 
 import jax
@@ -203,6 +204,7 @@ def transfer(
     min_k: int = 4,
     mesh: Optional[Mesh] = None,
     seed: int = 1234,
+    fetch_bf16: Optional[bool] = None,
 ) -> Tuple[np.ndarray, Optional[np.ndarray], np.ndarray, Tokenizer]:
     """Full transfer pipeline. Returns (emb_in, emb_out|None, bias,
     converted_target_tokenizer)."""
@@ -245,9 +247,26 @@ def transfer(
         hn_params_dev = jax.device_put(hn_params, jax.devices()[0])
         source_dev = jax.device_put(jnp.asarray(source), jax.devices()[0])
 
+    # fetch in bf16 when the hypernet computes in bf16 anyway: the result
+    # download is the transfer wall through a thin host link (BENCH_r04:
+    # 806 MB f32 at ~18-31 MB/s vs 1.2 s of compute for 250k vocab) and
+    # halving the bytes halves it. The predictions carry <=8 significant
+    # bf16 bits already, so the f32 fetch stores noise; the accumulate /
+    # average / splice still runs f32 on host. Opt out with fetch_bf16 or
+    # ZETT_TRANSFER_FETCH_F32=1.
+    if fetch_bf16 is None:
+        fetch_bf16 = hypernet.dtype == jnp.bfloat16 and not os.environ.get(
+            "ZETT_TRANSFER_FETCH_F32"
+        )
+
     @jax.jit
     def predict(p, sf, pr, src, lidx):
-        return hypernet.apply({"params": p}, sf, pr, src, lidx)
+        out = hypernet.apply({"params": p}, sf, pr, src, lidx)
+        if fetch_bf16:
+            out = jax.tree_util.tree_map(
+                lambda a: a.astype(jnp.bfloat16), out
+            )
+        return out
 
     def predict_fn(sf, pr, src, lidx):
         return predict(hn_params_dev, sf, pr, src, lidx)
