@@ -111,7 +111,14 @@ def base_config(model_dir, data_dir, out_dir, steps, identity_steps, workers):
         "max_grad_norm": 0.1,
         "logging_steps": 10,
         "save_steps": 0,
-        "eval_steps": 0,
+        # in-loop eval (VERDICT r4 item 6): the sampled-tokenizer valid
+        # stream plus two FIXED minted tokenizers (cached-embedding eval
+        # path, reference extra_valid train.py:522-555) at step boundaries
+        "eval_steps": 150,
+        "extra_valid_tokenizers": [
+            os.path.join(REPO, "artifacts", "tokenizers", "en_raw"),
+            os.path.join(REPO, "artifacts", "tokenizers", "gpt20001"),
+        ],
         "eval_at_step_zero": False,
         "loss": "clm",
         "lexical_loss_weight": 0.5,
@@ -239,6 +246,15 @@ def main(argv=None):
         "tokens_per_s_incl_input": round(tokens_per_s, 1),
         "resume_post_steps_compared": len(common),
         "resume_max_loss_diff": max_diff,
+        # per-checkpoint eval table (in-loop eval_loop at eval_steps
+        # boundaries: sampled-tokenizer stream + the two fixed minted
+        # tokenizers via the cached-embedding path)
+        "evals": [
+            {k: v for k, v in r.items()
+             if k == "step" or k.startswith("eval")}
+            for r in m1
+            if any(k.startswith("eval") for k in r)
+        ],
         "device": None,
     }
     import jax

@@ -17,6 +17,7 @@ MXU with static shapes, and dtype is configurable (bf16 for the compute path).
 from __future__ import annotations
 
 import dataclasses
+import os
 from dataclasses import dataclass
 from typing import Any, Dict, Optional, Tuple
 
@@ -156,7 +157,7 @@ MERGED_ATTENTION_MAX = 256  # merged seq*heads width above which the
 
 def _merged_head_attention(q, k, v, key_bias, head_bias, num_heads, dtype,
                            dropout_rate, deterministic, rng=None,
-                           key_mask=None):
+                           key_mask=None, inference=False):
     """Attention for tiny sequence lengths with ZERO layout copies.
 
     The classic per-head formulation reshapes (B, L, H) -> (B, L, h, d) and
@@ -187,7 +188,8 @@ def _merged_head_attention(q, k, v, key_bias, head_bias, num_heads, dtype,
     km = k.reshape(B, Lk * h, d)
     vm = v.reshape(B, Lk * h, d)
     if (
-        key_bias is None
+        (inference or os.environ.get("ZETT_PALLAS_TRAIN") == "1")
+        and key_bias is None
         and head_bias is None
         and key_mask is not None
         and d % 64 == 0
@@ -240,7 +242,7 @@ def _merged_head_attention(q, k, v, key_bias, head_bias, num_heads, dtype,
 
 
 def _attention(q, k, v, key_bias, head_bias, num_heads, dtype, dropout_rate,
-               deterministic, rng=None, key_mask=None):
+               deterministic, rng=None, key_mask=None, inference=False):
     """Multi-head attention core; q/k/v are (B, L, H) projections.
 
     Scores stay in the compute dtype (the MXU still accumulates the QK
@@ -261,6 +263,7 @@ def _attention(q, k, v, key_bias, head_bias, num_heads, dtype, dropout_rate,
         return _merged_head_attention(
             q, k, v, key_bias, head_bias, num_heads, dtype,
             dropout_rate, deterministic, rng, key_mask=key_mask,
+            inference=inference,
         )
     head_dim = H // num_heads
     q = q.reshape(B, Lq, num_heads, head_dim)
@@ -353,8 +356,16 @@ class Attention(nn.Module):
         position_bias=None,
         deterministic: bool = True,
         cls_query_only: bool = False,
+        inference: Optional[bool] = None,
     ):
         cfg = self.config
+        # `inference` routes the Pallas-fused kernels: they WIN on the
+        # forward-only transfer/eval paths and measurably LOSE inside the
+        # training step (e2e ablation, experiments/profiles/hypernet_r5.md)
+        # — callers that differentiate pass inference=False (Trainer does).
+        # Default: deterministic ⇒ inference.
+        if inference is None:
+            inference = deterministic
         kv = key_value_states if key_value_states is not None else hidden_states
         if cls_query_only:
             # only the CLS position's output is consumed downstream: project
@@ -382,6 +393,7 @@ class Attention(nn.Module):
 
         fused_ok = (
             deterministic
+            and inference
             and position_bias is None
             and key_value_states is None
             and not cls_query_only
@@ -427,7 +439,7 @@ class Attention(nn.Module):
         out = _attention(
             q, k, v, key_bias, position_bias, cfg.num_attention_heads,
             self.dtype, cfg.attention_dropout_prob, deterministic, rng,
-            key_mask=key_mask,
+            key_mask=key_mask, inference=inference,
         )
         out = out @ wo + bo
         if not deterministic and cfg.hidden_dropout_prob > 0.0:
@@ -450,6 +462,7 @@ class EncoderLayer(nn.Module):
         position_bias=None,
         deterministic: bool = True,
         cls_only: bool = False,
+        inference: Optional[bool] = None,
     ):
         """With cls_only=True, computes this layer's output for position 0
         ONLY (attention queries + MLP restricted to CLS; keys/values read the
@@ -457,6 +470,8 @@ class EncoderLayer(nn.Module):
         positions 1.. of the last layer are dead code otherwise. ~25% of the
         encoder's FLOPs at typical surface widths."""
         cfg = self.config
+        if inference is None:
+            inference = deterministic
         if cls_only:
             assert not cfg.add_inter_token_attention
             if position_bias is not None:
@@ -464,6 +479,7 @@ class EncoderLayer(nn.Module):
 
         fused_layer = (
             deterministic
+            and inference
             and not cls_only
             and not cfg.add_inter_token_attention
             and position_bias is None
@@ -512,7 +528,7 @@ class EncoderLayer(nn.Module):
         attn_out = Attention(cfg, dtype=self.dtype, name="attention")(
             hidden_states, attention_mask=attention_mask,
             position_bias=position_bias, deterministic=deterministic,
-            cls_query_only=cls_only,
+            cls_query_only=cls_only, inference=inference,
         )
         residual = hidden_states[:, :1] if cls_only else hidden_states
         attn_out = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype, name="attention_ln")(
@@ -534,6 +550,7 @@ class EncoderLayer(nn.Module):
                 key_value_states=attn_out[None, :, 0],
                 attention_bias=bias,
                 deterministic=deterministic,
+                inference=inference,
             )
             if cfg.inter_token_residual_ln:
                 # reference semantics: residual + LN around each exchange
@@ -547,6 +564,7 @@ class EncoderLayer(nn.Module):
                 flat,
                 key_value_states=blocks,
                 deterministic=deterministic,
+                inference=inference,
             )
             if cfg.inter_token_residual_ln:
                 updated = nn.LayerNorm(
@@ -628,6 +646,7 @@ class HypernetEncoder(nn.Module):
         target_priors=None,
         lang_index=None,
         deterministic: bool = True,
+        inference: Optional[bool] = None,
     ):
         cfg = self.config
         if inputs_embeds is None:
@@ -717,6 +736,7 @@ class HypernetEncoder(nn.Module):
                 position_bias=position_bias,
                 deterministic=deterministic,
                 cls_only=last and cls_only_last,
+                inference=inference,
             )
         return hidden
 
@@ -778,7 +798,12 @@ class Hypernet(nn.Module):
         source_embeddings=None,
         lang_index=None,
         deterministic: bool = True,
+        inference: Optional[bool] = None,
     ):
+        """inference routes the fused Pallas kernels (ops/pallas_attention):
+        they win on forward-only paths (transfer/eval) and measurably lose
+        inside the differentiated training step (hypernet_r5.md e2e
+        ablation). None ⇒ follow `deterministic`; the Trainer passes False."""
         cfg = self.config
         attention_mask = target_surface_forms != cfg.pad_token_id
 
@@ -812,6 +837,7 @@ class Hypernet(nn.Module):
             target_priors=target_priors,
             lang_index=lang_index,
             deterministic=deterministic,
+            inference=inference,
         )
 
         if cfg.concat_last_hidden_state:
@@ -895,6 +921,7 @@ class PassthroughHypernet(nn.Module):
         source_embeddings=None,
         lang_index=None,
         deterministic: bool = True,
+        inference: Optional[bool] = None,  # accepted for API parity; unused
     ):
         cfg = self.config
         ids = target_surface_forms[..., 0]

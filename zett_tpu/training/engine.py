@@ -315,6 +315,9 @@ class Trainer:
             return hypernet.apply(
                 variables, sf, priors, source, lang,
                 deterministic=not cfg.run_backbone_in_training_mode,
+                # differentiated step: route the XLA formulation (the
+                # fused Pallas kernels lose under grad — hypernet_r5.md)
+                inference=False,
                 rngs=rngs,
             )
 
@@ -528,6 +531,7 @@ class Trainer:
                     batch["target_priors"],
                     state.source_embeddings,
                     batch["lang_index"],
+                    inference=False,
                 )
                 target_in = jnp.take(src_in, batch["ids_to_embed"], axis=0)
                 in_loss = jnp.square(emb_in - target_in).sum(-1).mean()
@@ -749,7 +753,13 @@ class Trainer:
                     and cfg.eval_steps
                     and (step + 1) % cfg.eval_steps == 0
                 ):
-                    history.append({"step": step + 1, **eval_fn(self)})
+                    evald = {"step": step + 1, **eval_fn(self)}
+                    history.append(evald)
+                    # eval rows reach metrics.jsonl/trackers like any other
+                    # log line (previously history-only, so the CLI's
+                    # metrics stream silently dropped them)
+                    if on_log is not None:
+                        on_log(step + 1, evald)
                 if is_boundary and self._agree_preempted():
                     # finish the step in flight, write a resumable full-state
                     # checkpoint, and leave — the grace window on preemptible
