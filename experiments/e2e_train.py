@@ -85,10 +85,12 @@ def mint_data(path: str) -> str:
     src = os.path.join(REPO, "tests", ".cache", "corpora", "en.txt")
     with open(src) as f:
         lines = [l for l in f if l.strip()]
+    # 512 valid texts = 4 full batches at the flagship batch 128 (64 used
+    # to leave ZERO full batches and the in-loop eval silently no-op'd)
     with open(os.path.join(valid, "en.txt"), "w") as f:
-        f.writelines(lines[:64])
+        f.writelines(lines[:512])
     with open(os.path.join(train, "en.txt"), "w") as f:
-        f.writelines(lines[64:])
+        f.writelines(lines[512:])
     return path
 
 

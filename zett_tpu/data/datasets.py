@@ -280,6 +280,12 @@ class ValidDataset(TorchDataset):
             self.dataset[lang] = texts
             n_batches = len(texts) // batch_size
             self._index.extend((lang, b * batch_size) for b in range(n_batches))
+            if n_batches == 0 and texts:
+                # fewer texts than one batch: keep ONE partial batch rather
+                # than silently contributing nothing — an empty eval stream
+                # produced {} from eval_loop with no error (the in-training
+                # eval then no-ops invisibly)
+                self._index.append((lang, 0))
 
     def __len__(self):
         return len(self._index)

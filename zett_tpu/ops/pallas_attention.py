@@ -1,32 +1,51 @@
-"""Fused merged-head attention core for the hypernet (Pallas/Mosaic).
+"""Fused Pallas/Mosaic kernels for the hypernet's merged-head attention.
 
-The hypernet's production attention (models/hypernet.py
-``_merged_head_attention``) merges the (seq, heads) axes into one and
-computes all head pairs in a single batched matmul with the off-diagonal
-head blocks masked to -inf — eliminating XLA's per-head relayouts. What
-remains on the r4 trace (experiments/profiles/hypernet_r4.md) is ~16 ms/run
-of ``bf16[8192,96,64]`` layout flips that XLA inserts between the merged
-reshape producers and the dot_general operands, plus ~8.5 ms of HBM-bound
-masked-softmax fusions over the (B, L·h, L·h) score plane.
+Four tiers, all differential-tested against pure-JAX references that are
+themselves bit-checked against models/hypernet.py (tests/
+test_pallas_attention.py), each behind a probe-once availability gate with
+the XLA formulation as the per-platform fallback:
 
-This kernel fuses the merged attention CORE — scores, head-block mask,
-key mask/bias, softmax, weights·V — into one VMEM-resident Pallas program.
-The q/k/v/out projections stay in XLA (the r4 trace shows them at matmul
-roofline). Crucially the kernel body contains NO reshapes or lane slicing:
-it consumes the already-merged ``(B, L·h, d)`` operands directly, which is
-what the remote Mosaic compiler can build (an earlier full-block variant
-died on ``tpu.reshape vector<1024x768> -> vector<128x8x12x64>`` — lane-dim
-splitting reshapes are unsupported).
+1. ``merged_attention_pallas`` — the attention CORE on already-merged
+   ``(B, L·h, d)`` operands. Measured a NULL in context (XLA moves the
+   relayout copies to the kernel's own operand boundary) — kept as the
+   building block of tier 4 and for tests.
+2. ``attention_block_pallas`` — q/k/v projections + core + output
+   projection. The block boundary is the layout-flexible LayerNorm
+   output, so the boundary copies disappear.
+3. ``encoder_layer_pallas`` — the whole encoder layer (attention block +
+   residual LayerNorms + FFN) VMEM-resident; hidden states never touch
+   HBM inside a layer. Production inference path: 91.5 -> 76.0 ms/32k
+   vocab on v5e (experiments/profiles/hypernet_r5.md). Tier 2/3 get
+   ``custom_vjp`` wrappers (plane-free hand-written backward for the
+   block; recompute-through-the-block for the layer) so the fused forward
+   stays valid under ``jax.grad``.
+4. ``merged_attention_train`` — custom_vjp core with Pallas forward AND
+   backward + in-kernel seeded dropout (deterministic Mosaic PRNG). The
+   score plane never exists in HBM in either direction. Measured
+   speed-NEUTRAL inside the real train step (the removed plane fusions
+   overlapped the copy/DMA critical path — trace-backed null result in
+   hypernet_r5.md), so the Trainer routes the XLA formulation via the
+   models' ``inference=False`` flag; ZETT_PALLAS_TRAIN=1 re-enables.
+
+Mosaic constraints that shaped the formulations (all probed live on v5e
+through the remote tunnel): lane-dim-splitting reshapes
+(``(TBL, H) -> (TB, L, h, d)``) are unsupported; 64-aligned lane SLICES
+are supported; sublane regroups need L % 8 == 0 (callers pad with masked
+positions — exact); concatenating slices with mixed lane offsets trips
+layout inference (stores through VMEM scratch relayout instead);
+``tpu.matmul`` takes at most ONE batch dim; no erf/erfc (exact-gelu
+configs stop at tier 2).
 
 Numerics follow ``_merged_head_attention`` exactly: scores accumulate f32
 on the MXU and are cast to the compute dtype, scaled by 1/sqrt(d) in
 compute dtype, masked with ``finfo.min`` via a single select, softmax in
 f32, weights cast back before the PV matmul. The off-diagonal head blocks
 underflow to exactly 0.0 in the softmax, so the result is numerically
-identical to per-head attention.
+identical to per-head attention; the in-kernel LayerNorm replica is
+bit-exact vs flax.linen.LayerNorm.
 
 Reference semantics: zett/model/hyper_roberta.py:104-210 (per-head
-attention this formulation is exactly equivalent to).
+attention these formulations are exactly equivalent to).
 """
 
 from __future__ import annotations
