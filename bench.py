@@ -511,7 +511,13 @@ def bench_transfer_250k(vocab=250_000, maxlen=16, batch=16384,
 
     @jax.jit
     def predict(p, s, pr):
-        return hn.apply(p, s, pr)
+        out = hn.apply(p, s, pr)
+        # mirror transfer()'s production bf16 result fetch (lossless for a
+        # bf16 hypernet — parity pinned on-chip; halves the dominant
+        # download through the tunnel)
+        return jax.tree_util.tree_map(
+            lambda a: a.astype(jnp.bfloat16), out
+        )
 
     def predict_fn(s, pr, _src, _lidx):
         return predict(params, s, pr)
@@ -630,6 +636,8 @@ def main():
         "vs_baseline": round(retok["bytes_per_s"] / retok["hf_bytes_per_s"], 4),
         "token_id_exact_match": round(retok["exact_match"], 6),
         "hf_rust_bytes_per_s": round(retok["hf_bytes_per_s"], 1),
+        "bytes_per_s_spread": retok.get("bytes_per_s_spread"),
+        "hf_bytes_per_s_spread": retok.get("hf_bytes_per_s_spread"),
         "tokenizer_sample_time_s": round(retok["sample_time_s"], 3),
         "hypernet_ms_per_32k_vocab": (
             round(hyper["hypernet_ms_per_32k_vocab"], 2)

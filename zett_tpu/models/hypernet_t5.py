@@ -230,6 +230,8 @@ class T5CompatEncoder(nn.Module):
         target_priors=None,
         lang_index=None,
         deterministic: bool = True,
+        inference=None,  # accepted for Hypernet API parity; the t5-compat
+        # encoder has no fused-kernel path
     ):
         cfg = self.config
         if inputs_embeds is None:
