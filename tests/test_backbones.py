@@ -138,3 +138,38 @@ def test_embedding_paths_resolve(rng_ids):
     params = module.init(jax.random.PRNGKey(0), jnp.ones((1, 4), dtype=jnp.int32))["params"]
     emb = get_subtree(params, IN_EMBEDDING_PATHS["gpt2"])
     assert emb.shape == (64, 16)
+
+
+def test_qwen2_gqa_logits_match_hf(rng_ids):
+    """qwen2 = llama family + unconditional q/k/v biases (o_proj stays
+    bias-free) — beyond the reference's seven families."""
+    import torch
+    from transformers import Qwen2Config
+    from transformers.models.qwen2.modeling_qwen2 import Qwen2ForCausalLM
+
+    hf_config = Qwen2Config(
+        vocab_size=128, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        tie_word_embeddings=False, use_sliding_window=False,
+        attention_dropout=0.0,
+    )
+    torch.manual_seed(0)
+    model = Qwen2ForCausalLM(hf_config).eval()
+    _compare("qwen2", model, hf_config, rng_ids)
+
+
+def test_qwen2_tied_logits_match_hf(rng_ids):
+    """the small qwen2 checkpoints tie input/output embeddings."""
+    import torch
+    from transformers import Qwen2Config
+    from transformers.models.qwen2.modeling_qwen2 import Qwen2ForCausalLM
+
+    hf_config = Qwen2Config(
+        vocab_size=128, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=4,
+        tie_word_embeddings=True, use_sliding_window=False,
+        attention_dropout=0.0,
+    )
+    torch.manual_seed(0)
+    model = Qwen2ForCausalLM(hf_config).eval()
+    _compare("qwen2", model, hf_config, rng_ids)

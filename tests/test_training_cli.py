@@ -236,3 +236,64 @@ def test_cli_distributed_flag_overrides(monkeypatch, tmp_path):
     }
     with pytest.raises(SystemExit):
         tm.main([str(cfg_path), "--bogus-flag"])
+
+
+def test_run_training_qwen2_untied_auto_separate_out(tmp_path):
+    """An untied family (qwen2 — llama family + q/k/v biases, beyond the
+    reference's seven) trains through the CLI WITHOUT setting
+    separate_out_embeddings: the driver derives it from the family's tie
+    status like the reference (train.py:350)."""
+    import numpy as np
+    import torch
+    from safetensors.torch import save_file
+    from tokenizers import Tokenizer as HFTok
+    from tokenizers import models as hfm
+    from tokenizers import pre_tokenizers as hfp
+    from tokenizers import trainers as hft
+    from transformers import Qwen2Config
+    from transformers.models.qwen2.modeling_qwen2 import Qwen2ForCausalLM
+
+    from zett_tpu.training.__main__ import run_training
+
+    model_dir = tmp_path / "model"
+    model_dir.mkdir()
+    cfg = Qwen2Config(
+        vocab_size=300, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        tie_word_embeddings=False, use_sliding_window=False,
+    )
+    torch.manual_seed(0)
+    m = Qwen2ForCausalLM(cfg).eval()
+    save_file(dict(m.state_dict()), str(model_dir / "model.safetensors"))
+    cfg.save_pretrained(str(model_dir))
+    tok = HFTok(hfm.BPE(unk_token=None))
+    tok.pre_tokenizer = hfp.ByteLevel(add_prefix_space=False)
+    tok.train_from_iterator(
+        ["hello world this is a test " * 50],
+        hft.BpeTrainer(vocab_size=300, special_tokens=["<|endoftext|>"]),
+    )
+    tok.save(str(model_dir / "tokenizer.json"))
+
+    config = {
+        "model_dir": str(model_dir), "output_dir": str(tmp_path / "out"),
+        "steps": 2, "warmup_steps": 1, "learning_rate": 1e-4,
+        "logging_steps": 1, "save_steps": 0, "eval_steps": 0,
+        "loss": "clm", "lexical_loss_weight": 0.5, "block_size": 16,
+        # batch divisible by the 8-device virtual test mesh
+        "batch_size": 8, "num_workers": 0, "n_token_subsample": None,
+        "pad_to_multiple_of": 16, "tokenizer_sample_mean": 512,
+        "tokenizer_sample_std": 0, "tokenizer_sample_min": 512,
+        "tokenizer_sample_max": 512, "tokenizer_batch_size": 64,
+        "langs": ["en"],
+        "texts_by_lang": {"en": ["hello world this is a test " * 20] * 48},
+        "hidden_size": 32, "intermediate_size": 64, "num_hidden_layers": 1,
+        "num_attention_heads": 2, "hn_surface_maxlen": 7,
+        "max_position_embeddings": 10,
+        "embed_using_source_embeddings": True, "n_extra_tokens": 16,
+        "rescale_embeddings": True, "predict_bias": True, "dtype": "float32",
+        "loss_chunk_size": 4,
+    }
+    trainer, history = run_training(config, "qwen2_mini")
+    assert trainer.hn_config.separate_out_embeddings  # derived, not configured
+    losses = [h["loss"] for h in history if "loss" in h]
+    assert len(losses) == 2 and all(np.isfinite(losses))

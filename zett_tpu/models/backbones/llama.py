@@ -31,7 +31,9 @@ class LlamaConfig:
     rms_norm_eps: float = 1e-6
     rope_theta: float = 10000.0
     tie_word_embeddings: bool = False
-    attention_bias: bool = False
+    attention_bias: bool = False  # bias on q/k/v projections (qwen2: True)
+    attention_out_bias: bool = False  # bias on o_proj (no family uses it;
+    # qwen2 has qkv bias but NOT o bias)
     hidden_act: str = "silu"  # "silu" (llama/mistral) | "gelu" (gemma)
     scale_embeddings: bool = False  # gemma multiplies embeddings by sqrt(hidden)
     rmsnorm_unit_offset: bool = False  # gemma uses (1 + w) * norm(x)
@@ -56,7 +58,13 @@ class LlamaConfig:
             rms_norm_eps=get("rms_norm_eps", 1e-6),
             rope_theta=get("rope_theta", 10000.0),
             tie_word_embeddings=get("tie_word_embeddings", False),
-            attention_bias=get("attention_bias", False),
+            # qwen2 hard-codes q/k/v bias True and o bias False in the
+            # architecture (HF modeling_qwen2 Linear(..., bias=True/False));
+            # its config object carries no attention_bias attribute
+            attention_bias=(
+                True if model_type == "qwen2"
+                else get("attention_bias", False)
+            ),
             hidden_act="gelu" if model_type == "gemma" else "silu",
             scale_embeddings=model_type == "gemma",
             rmsnorm_unit_offset=model_type == "gemma",
@@ -111,7 +119,13 @@ class LlamaAttention(nn.Module):
         cfg = self.config
         H, hd, kvh = cfg.num_attention_heads, cfg.dims_per_head, cfg.kv_heads
         dense = lambda feats, name: nn.Dense(
-            feats, use_bias=cfg.attention_bias, dtype=self.dtype, name=name
+            feats,
+            use_bias=(
+                cfg.attention_out_bias
+                if name == "o_proj"
+                else cfg.attention_bias
+            ),
+            dtype=self.dtype, name=name,
         )
         B, L, _ = hidden.shape
         q = dense(H * hd, "q_proj")(hidden).reshape(B, L, H, hd)

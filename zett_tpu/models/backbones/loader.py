@@ -239,6 +239,7 @@ CONVERTERS = {
     "gpt2": convert_gpt2,
     "llama": convert_llama,
     "mistral": convert_llama,
+    "qwen2": convert_llama,
     "gemma": convert_llama,
     "roberta": convert_roberta,
     "xlm-roberta": convert_roberta,
@@ -363,6 +364,7 @@ INVERTERS = {
     "gpt2": invert_gpt2,
     "llama": invert_llama,
     "mistral": invert_llama,
+    "qwen2": invert_llama,
     "gemma": invert_llama,
     "roberta": invert_roberta,
     "xlm-roberta": invert_roberta,

@@ -15,6 +15,7 @@ IN_EMBEDDING_PATHS = {
     "xlm-roberta": ("roberta", "word_embeddings", "embedding"),
     "llama": ("model", "embed_tokens", "embedding"),
     "mistral": ("model", "embed_tokens", "embedding"),
+    "qwen2": ("model", "embed_tokens", "embedding"),
     "gemma": ("model", "embed_tokens", "embedding"),
     "xglm": ("model", "embed_tokens", "embedding"),
 }
@@ -25,6 +26,7 @@ OUT_EMBEDDING_PATHS = {
     "xlm-roberta": None,
     "llama": ("lm_head", "kernel"),
     "mistral": ("lm_head", "kernel"),
+    "qwen2": ("lm_head", "kernel"),
     "gemma": None,
     "xglm": None,
 }
@@ -36,9 +38,10 @@ BIAS_PATHS = {
     "mistral": None,
     "gemma": None,
     "xglm": None,
+    "qwen2": None,
 }
 
-LLAMA_FAMILY = {"llama", "mistral", "gemma"}
+LLAMA_FAMILY = {"llama", "mistral", "gemma", "qwen2"}
 ROBERTA_FAMILY = {"roberta", "xlm-roberta"}
 
 

@@ -150,6 +150,7 @@ BACKBONE_RULES: Dict[str, List[Rule]] = {
     ],
 }
 BACKBONE_RULES["mistral"] = BACKBONE_RULES["llama"]
+BACKBONE_RULES["qwen2"] = BACKBONE_RULES["llama"]
 BACKBONE_RULES["gemma"] = BACKBONE_RULES["llama"]
 BACKBONE_RULES["roberta"] = BACKBONE_RULES["xlm-roberta"]
 

@@ -160,6 +160,16 @@ def run_training(config: dict, run_name: str = "run"):
         n_langs=max(len(data_cfg.langs), 1),
         vocab_size=len(hn_tokenizer) + 256,
     )
+    if "separate_out_embeddings" not in config:
+        # follow the reference (train.py:350): untied families predict
+        # separate output embeddings automatically; an explicit config key
+        # still overrides (gpt2_en_untied.json)
+        from ..models.backbones.registry import is_output_tied
+
+        hn_cfg = dataclasses.replace(
+            hn_cfg,
+            separate_out_embeddings=not is_output_tied(model_type, bb_config),
+        )
 
     # language list + sampling probabilities (reference train.py:248-272):
     # `langs` may be a list or a path to a .txt (one code per line, optional
