@@ -60,7 +60,9 @@ def main(argv=None):
 
     with open(os.path.join(args.checkpoint, "hn_config.json")) as f:
         hn_config = HypernetConfig.from_dict(json.load(f))
-    hn_params = ocp.StandardCheckpointer().restore(
+    from ..utils.checkpoint import restore_params_portable
+
+    hn_params = restore_params_portable(
         os.path.abspath(os.path.join(args.checkpoint, "state"))
     )
     hypernet = Hypernet(hn_config)

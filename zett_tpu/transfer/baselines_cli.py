@@ -142,9 +142,9 @@ def main(argv=None):
     if args.method == "passthrough":
         if args.checkpoint is None:
             raise SystemExit("--checkpoint required for --method passthrough")
-        import orbax.checkpoint as ocp
+        from ..utils.checkpoint import restore_params_portable
 
-        state = ocp.StandardCheckpointer().restore(
+        state = restore_params_portable(
             os.path.abspath(os.path.join(args.checkpoint, "state"))
         )
         hn_params = state["params"]["hypernet"] if "params" in state else state
