@@ -311,13 +311,15 @@ class Trainer:
             src_out = state.source_embeddings[:, n_embd:] if not out_tied else None
             return src_in, src_out
 
-        def _hn_forward(variables, sf, priors, source, lang, rngs):
+        def _hn_forward(variables, sf, priors, source, lang, rngs,
+                        inference=False):
+            # inference routes the fused Pallas kernels: False on the
+            # differentiated train/identity paths (they measurably lose
+            # under grad — hypernet_r5.md), True on the no-grad eval paths
             return hypernet.apply(
                 variables, sf, priors, source, lang,
                 deterministic=not cfg.run_backbone_in_training_mode,
-                # differentiated step: route the XLA formulation (the
-                # fused Pallas kernels lose under grad — hypernet_r5.md)
-                inference=False,
+                inference=inference,
                 rngs=rngs,
             )
 
@@ -326,9 +328,10 @@ class Trainer:
             # activations from HBM during the backbone bwd (the step is
             # memory-bound at the reference shape; XLA otherwise
             # force-remats with padded spill copies)
-            _hn_forward = jax.checkpoint(_hn_forward)
+            _hn_forward = jax.checkpoint(_hn_forward, static_argnums=(6,))
 
-        def compute_embeddings(state, params, batch, dropout_rng):
+        def compute_embeddings(state, params, batch, dropout_rng,
+                               inference=False):
             src_in, src_out = split_source(state)
             emb_in, emb_out, biases = _hn_forward(
                 {"params": params["hypernet"]},
@@ -337,6 +340,7 @@ class Trainer:
                 state.source_embeddings,
                 batch["lang_index"],
                 {"dropout": dropout_rng} if cfg.run_backbone_in_training_mode else {},
+                inference,
             )
             if src_in is not None:
                 emb_in = emb_in.at[batch["special_indices"]].set(
@@ -365,8 +369,11 @@ class Trainer:
                 logits = logits + batch["target_priors"][None, None, :]
             return logits
 
-        def compute_embeddings_and_logits(state, params, batch, dropout_rng):
-            emb_in, emb_out, biases = compute_embeddings(state, params, batch, dropout_rng)
+        def compute_embeddings_and_logits(state, params, batch, dropout_rng,
+                                          inference=False):
+            emb_in, emb_out, biases = compute_embeddings(
+                state, params, batch, dropout_rng, inference=inference
+            )
             logits = splice_and_logits(params, batch, emb_in, emb_out, biases)
             return emb_in, emb_out, logits
 
@@ -554,13 +561,13 @@ class Trainer:
             dropout_rng = state.dropout_rng
             if use_chunked:
                 emb_in, emb_out, biases = compute_embeddings(
-                    state, state.params, batch, dropout_rng
+                    state, state.params, batch, dropout_rng, inference=True
                 )
                 return chunked_eval_metrics(
                     state.params, batch, emb_in, emb_out, biases
                 )
             _, _, logits = compute_embeddings_and_logits(
-                state, state.params, batch, dropout_rng
+                state, state.params, batch, dropout_rng, inference=True
             )
             return eval_metrics_from_logits(logits, batch)
 
@@ -591,7 +598,11 @@ class Trainer:
             return eval_metrics_from_logits(logits, batch)
 
         def compute_embeddings_jit(state, batch):
-            return compute_embeddings(state, state.params, batch, state.dropout_rng)
+            # cached-embedding eval path (one vocab forward per fixed
+            # tokenizer): no grad -> fused kernels
+            return compute_embeddings(
+                state, state.params, batch, state.dropout_rng, inference=True
+            )
 
         donate = (0,)
         self.train_step = jax.jit(train_step, donate_argnums=donate)
