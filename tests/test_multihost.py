@@ -223,3 +223,75 @@ def test_two_process_multilingual_workers_matches_single_process(
     # same seed-synchronized sampling, same global shards)
     assert langs[0] == single_langs
     np.testing.assert_allclose(losses[0], single_losses, rtol=1e-4)
+
+
+def test_two_process_preemption_agrees_on_step(model_dir, corpus, tmp_path):
+    """Only RANK 0 receives the preemption signal; the per-boundary
+    allgather agreement (Trainer._agree_preempted) must make BOTH
+    processes enter the collective checkpoint at the SAME step — the
+    advisor's r4 finding was that divergent boundaries hang the pod
+    inside the grace window. Asserts: both exit cleanly, one shared
+    preempt_step_<K>, both histories end preempted at the same K, and no
+    final/ checkpoint is written for the interrupted run."""
+    import signal
+    import time
+
+    texts = [t for t in corpus if t.strip()][:96]
+    mh_out = str(tmp_path / "mh_preempt")
+    os.makedirs(mh_out, exist_ok=True)
+    config = _tiny_config(model_dir, mh_out, texts)
+    config["steps"] = 8
+    config["preempt_signal"] = "SIGUSR1"
+    config_path = str(tmp_path / "mh_preempt_config.json")
+    with open(config_path, "w") as f:
+        json.dump(config, f)
+
+    port = _free_port()
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    procs = [
+        subprocess.Popen(
+            [sys.executable, os.path.join(TESTS_DIR, "mh_worker.py"),
+             config_path, str(rank), "2", str(port)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env,
+        )
+        for rank in range(2)
+    ]
+
+    # wait until rank 0 has logged a couple of steps, then signal ONLY it
+    metrics_path = os.path.join(mh_out, "metrics.jsonl")
+    deadline = time.time() + 480
+    signaled = False
+    while time.time() < deadline and not signaled:
+        if os.path.exists(metrics_path):
+            with open(metrics_path) as f:
+                steps = [json.loads(l).get("step", 0) for l in f if l.strip()]
+            if steps and max(steps) >= 2:
+                procs[0].send_signal(signal.SIGUSR1)
+                signaled = True
+                break
+        if any(p.poll() is not None for p in procs):
+            break
+        time.sleep(1.0)
+    assert signaled, "rank 0 never reached step 2"
+
+    outputs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=600)
+        outputs.append(out.decode(errors="replace"))
+    for rank, (p, out) in enumerate(zip(procs, outputs)):
+        assert p.returncode == 0, f"rank {rank} failed:\n{out[-4000:]}"
+
+    preempt_dirs = sorted(
+        d for d in os.listdir(mh_out) if d.startswith("preempt_step_")
+    )
+    assert len(preempt_dirs) == 1, preempt_dirs
+    k = int(preempt_dirs[0].rsplit("_", 1)[1])
+    for rank in range(2):
+        with open(os.path.join(mh_out, f"history_{rank}.json")) as f:
+            hist = json.load(f)
+        assert hist[-1].get("preempted") == 1.0, hist[-1]
+        assert hist[-1]["step"] == k, (rank, hist[-1], k)
+    assert k < config["steps"], "preemption must interrupt before the end"
+    assert not os.path.exists(os.path.join(mh_out, "final")), (
+        "an interrupted run must not write final/"
+    )
