@@ -238,11 +238,15 @@ def test_cli_distributed_flag_overrides(monkeypatch, tmp_path):
         tm.main([str(cfg_path), "--bogus-flag"])
 
 
-def test_run_training_qwen2_untied_auto_separate_out(tmp_path):
-    """An untied family (qwen2 — llama family + q/k/v biases, beyond the
-    reference's seven) trains through the CLI WITHOUT setting
-    separate_out_embeddings: the driver derives it from the family's tie
-    status like the reference (train.py:350)."""
+@pytest.mark.parametrize("tied", [False, True])
+def test_run_training_qwen2_auto_separate_out(tmp_path, tied):
+    """qwen2 (llama family + q/k/v biases, beyond the reference's seven)
+    trains through the CLI WITHOUT setting separate_out_embeddings: the
+    driver derives it from the family's tie status like the reference
+    (train.py:350). The tied variant additionally pins resolve_out_path:
+    tied llama-family checkpoints carry NO lm_head, and the static
+    OUT_EMBEDDING_PATHS table alone used to KeyError in
+    extract_embeddings."""
     import numpy as np
     import torch
     from safetensors.torch import save_file
@@ -260,11 +264,14 @@ def test_run_training_qwen2_untied_auto_separate_out(tmp_path):
     cfg = Qwen2Config(
         vocab_size=300, hidden_size=32, intermediate_size=64,
         num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
-        tie_word_embeddings=False, use_sliding_window=False,
+        tie_word_embeddings=tied, use_sliding_window=False,
     )
     torch.manual_seed(0)
     m = Qwen2ForCausalLM(cfg).eval()
-    save_file(dict(m.state_dict()), str(model_dir / "model.safetensors"))
+    sd = dict(m.state_dict())
+    if tied:
+        sd.pop("lm_head.weight", None)  # HF omits it for tied checkpoints
+    save_file(sd, str(model_dir / "model.safetensors"))
     cfg.save_pretrained(str(model_dir))
     tok = HFTok(hfm.BPE(unk_token=None))
     tok.pre_tokenizer = hfp.ByteLevel(add_prefix_space=False)
@@ -294,6 +301,7 @@ def test_run_training_qwen2_untied_auto_separate_out(tmp_path):
         "loss_chunk_size": 4,
     }
     trainer, history = run_training(config, "qwen2_mini")
-    assert trainer.hn_config.separate_out_embeddings  # derived, not configured
+    assert trainer.hn_config.separate_out_embeddings == (not tied)
+    assert trainer.out_tied == tied
     losses = [h["loss"] for h in history if "loss" in h]
     assert len(losses) == 2 and all(np.isfinite(losses))

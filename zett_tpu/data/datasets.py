@@ -292,8 +292,17 @@ class ValidDataset(TorchDataset):
 
     def __getitem__(self, idx):
         lang, start = self._index[idx]
+        texts = self.dataset[lang][start : start + self.batch_size]
+        if len(texts) < self.batch_size:
+            # pad the partial batch to the FULL batch size with empty
+            # texts: empty rows encode to all-pad (attention_mask 0,
+            # byte_lengths 0) and contribute nothing to any loss/bpb
+            # denominator, while the batch keeps the uniform shape the
+            # sharded eval step requires (a ragged batch would break the
+            # mesh data-axis divisibility and force a fresh compile)
+            texts = texts + [""] * (self.batch_size - len(texts))
         return {
-            "texts": self.dataset[lang][start : start + self.batch_size],
+            "texts": texts,
             "lang_code": lang,
         }
 

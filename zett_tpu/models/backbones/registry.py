@@ -45,6 +45,24 @@ LLAMA_FAMILY = {"llama", "mistral", "gemma", "qwen2"}
 ROBERTA_FAMILY = {"roberta", "xlm-roberta"}
 
 
+def resolve_out_path(model_type: str, params: dict) -> Optional[Tuple[str, ...]]:
+    """The OUT_EMBEDDING_PATHS entry iff it actually exists in this param
+    tree. llama-family checkpoints saved with tie_word_embeddings=True
+    carry NO lm_head (logits use embedding.T — loader.convert_llama skips
+    the weight), so the static table alone misidentifies tied llama /
+    mistral / qwen2 models as untied and every get_subtree walk KeyErrors.
+    Presence in the tree is the ground truth."""
+    path = OUT_EMBEDDING_PATHS.get(model_type)
+    if path is None:
+        return None
+    node = params
+    for p in path[:-1]:
+        if not isinstance(node, dict) or p not in node:
+            return None
+        node = node[p]
+    return path if isinstance(node, dict) and path[-1] in node else None
+
+
 def get_subtree(tree, path: Tuple[str, ...]):
     for p in path:
         tree = tree[p]

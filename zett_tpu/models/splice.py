@@ -17,6 +17,7 @@ from .backbones.registry import (
     BIAS_PATHS,
     IN_EMBEDDING_PATHS,
     OUT_EMBEDDING_PATHS,
+    resolve_out_path,
 )
 
 
@@ -46,7 +47,7 @@ def splice_embeddings(
     bias: (V,) lm-head bias or None to zero it when the arch has one.
     """
     in_path = IN_EMBEDDING_PATHS[model_type]
-    out_path = OUT_EMBEDDING_PATHS[model_type]
+    out_path = resolve_out_path(model_type, params)
     bias_path = BIAS_PATHS[model_type]
 
     new = _copy_path(params, in_path)
@@ -82,7 +83,7 @@ def extract_embeddings(params: dict, model_type: str, pad_to_multiple_of: int = 
     import numpy as np
 
     in_path = IN_EMBEDDING_PATHS[model_type]
-    out_path = OUT_EMBEDDING_PATHS[model_type]
+    out_path = resolve_out_path(model_type, params)
 
     node = params
     for p in in_path[:-1]:

@@ -317,7 +317,13 @@ def _core_train_bwd_kernel(seed_ref, qm_ref, km_ref, vm_ref, kmask_ref,
     ).astype(dtype)
 
 
-def _core_train_tiles(B, Lqh, Lkh, d, itemsize, n_planes):
+def _core_train_tiles(B, Lqh, Lkh, d, itemsize):
+    """ONE tile size for forward AND backward: the in-kernel dropout mask
+    is regenerated from (seed, program_id) with a (TB, Lqh, Lkh) draw, so
+    fwd/bwd MUST tile identically or the backward would scale/zero
+    different entries than the forward dropped. Sized for the backward's
+    VMEM footprint (5 score-plane temporaries — the larger of the two)."""
+    n_planes = 5
     per_row = (3 * Lkh + Lqh) * d * itemsize + n_planes * Lqh * Lkh * 4
     budget = 6 * 1024 * 1024
     tile = 8
@@ -334,7 +340,7 @@ def _core_train_fwd_pallas(qm, km, vm, kmaskf, seed, num_heads, rate,
     B, Lqh, d = qm.shape
     Lkh = km.shape[1]
     dtype = qm.dtype
-    tile_b = _core_train_tiles(B, Lqh, Lkh, d, np.dtype(dtype).itemsize, 3)
+    tile_b = _core_train_tiles(B, Lqh, Lkh, d, np.dtype(dtype).itemsize)
     pad = (-B) % tile_b
     if pad:
         qm, km, vm = (jnp.pad(a, ((0, pad), (0, 0), (0, 0)))
@@ -368,7 +374,7 @@ def _core_train_bwd_pallas(qm, km, vm, kmaskf, seed, dout, num_heads, rate,
     B, Lqh, d = qm.shape
     Lkh = km.shape[1]
     dtype = qm.dtype
-    tile_b = _core_train_tiles(B, Lqh, Lkh, d, np.dtype(dtype).itemsize, 5)
+    tile_b = _core_train_tiles(B, Lqh, Lkh, d, np.dtype(dtype).itemsize)
     pad = (-B) % tile_b
     if pad:
         qm, km, vm, dout = (jnp.pad(a, ((0, pad), (0, 0), (0, 0)))
@@ -969,6 +975,10 @@ def _attention_block_fused_bwd(num_heads, has_mask, has_bias, res, dout):
     vm = v.reshape(B, L * h, d)
     kmaskf = jnp.repeat(maskf, h, axis=-1)
     seed = jnp.zeros((), jnp.int32)
+    # the backward's Pallas kernels are the TRAIN-core formulation, which
+    # has its own Mosaic constraints — gate on its own probe (the forward
+    # only probed "block"); unprobed -> XLA fallback, never a compile crash
+    core_ok = pallas_attention_available("core_vjp")
     ctx_m = jax.lax.platform_dependent(
         tpu=lambda: _core_train_fwd_pallas(
             qm, km, vm, kmaskf, seed, num_heads, 0.0
@@ -976,24 +986,29 @@ def _attention_block_fused_bwd(num_heads, has_mask, has_bias, res, dout):
         default=lambda: _core_train_fallback(
             qm, km, vm, kmaskf, seed, num_heads, 0.0
         ),
+    ) if core_ok else _core_train_fallback(
+        qm, km, vm, kmaskf, seed, num_heads, 0.0
     )
     ctx = ctx_m.reshape(B, L, H)
     # out = ctx @ wo + bo
     dctx = dout @ wo.T
     dwo = ctx.reshape(-1, H).T @ dout.reshape(-1, H)
     dbo = dout.sum(axis=(0, 1))
+    def _bwd_fallback():
+        return jax.vjp(
+            lambda q_, k_, v_: _core_train_fallback(
+                q_, k_, v_, kmaskf, seed, num_heads, 0.0
+            ),
+            qm, km, vm,
+        )[1](dctx.reshape(B, L * h, d))
+
     dqm, dkm, dvm = jax.lax.platform_dependent(
         tpu=lambda: _core_train_bwd_pallas(
             qm, km, vm, kmaskf, seed, dctx.reshape(B, L * h, d),
             num_heads, 0.0,
         ),
-        default=lambda: jax.vjp(
-            lambda q_, k_, v_: _core_train_fallback(
-                q_, k_, v_, kmaskf, seed, num_heads, 0.0
-            ),
-            qm, km, vm,
-        )[1](dctx.reshape(B, L * h, d)),
-    )
+        default=_bwd_fallback,
+    ) if core_ok else _bwd_fallback()
     dq = dqm.reshape(B, L, H)
     dk = dkm.reshape(B, L, H)
     dv = dvm.reshape(B, L, H)
@@ -1152,8 +1167,23 @@ def pallas_attention_available(feature: str = "block") -> bool:
                     x, mask, None, w, b, w, b, w, b, w, b, num_heads=h
                 )
             jax.block_until_ready(out)
-        _PROBE_RESULT[feature] = True
+        ok = True
     except Exception as exc:  # noqa: BLE001 — any failure means "fall back"
-        _PROBE_RESULT[feature] = False
+        ok = False
         _PROBE_RESULT[feature + "_error"] = repr(exc)
+    if jax.process_count() > 1:
+        # SPMD safety: the probe gates the STRUCTURE of collectively
+        # executed programs, so all processes must agree — a transient
+        # compile failure on one host would otherwise lower a different
+        # program than its peers. AND-reduce the local outcomes. (All
+        # processes reach this point: the gate code is identical; only a
+        # per-host env override could diverge earlier — set such env vars
+        # fleet-wide.)
+        from jax.experimental import multihost_utils
+
+        flags = multihost_utils.process_allgather(
+            np.asarray([1 if ok else 0], np.int32)
+        )
+        ok = bool(np.asarray(flags).min())
+    _PROBE_RESULT[feature] = ok
     return _PROBE_RESULT[feature]

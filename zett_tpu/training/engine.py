@@ -27,6 +27,7 @@ from ..models.backbones.registry import (
     BIAS_PATHS,
     OUT_EMBEDDING_PATHS,
     build_model,
+    resolve_out_path,
 )
 from ..models.splice import extract_embeddings, splice_embeddings
 from ..parallel.sharding import (
@@ -92,13 +93,26 @@ class _DevicePrefetcher:
         self._stop.set()
         # drain so a producer blocked on a full queue can observe the stop
         # flag, then join — an abandoned daemon thread inside a JAX call at
-        # interpreter teardown aborts the process
-        try:
-            while True:
-                self._q.get_nowait()
-        except Exception:  # noqa: BLE001 — queue.Empty
-            pass
-        self._t.join(timeout=5.0)
+        # interpreter teardown aborts the process. Keep draining while
+        # joining: the producer may be mid-device_fn and enqueue once more
+        # before it sees the flag.
+        import time as _time
+
+        deadline = _time.monotonic() + 30.0
+        while self._t.is_alive() and _time.monotonic() < deadline:
+            try:
+                while True:
+                    self._q.get_nowait()
+            except Exception:  # noqa: BLE001 — queue.Empty
+                pass
+            self._t.join(timeout=0.5)
+        if self._t.is_alive():
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "batch-prefetch thread still inside a device call after "
+                "30s; exiting anyway (teardown may abort)"
+            )
 
 
 class Trainer:
@@ -138,7 +152,8 @@ class Trainer:
         source, original_vocab = extract_embeddings(backbone_params, model_type)
         self.source_embeddings = source.astype(train_config.dtype)
         self.original_vocab_size = original_vocab
-        self.out_tied = OUT_EMBEDDING_PATHS[model_type] is None
+        # presence-aware: tied llama-family checkpoints carry no lm_head
+        self.out_tied = resolve_out_path(model_type, backbone_params) is None
         self.bias_path = BIAS_PATHS[model_type]
         self.backbone_params = backbone_params
         if hn_config.embed_using_source_embeddings and hn_config.original_vocab_size == 0:
@@ -771,7 +786,7 @@ class Trainer:
                     # metrics stream silently dropped them)
                     if on_log is not None:
                         on_log(step + 1, evald)
-                if is_boundary and self._agree_preempted():
+                if is_boundary and self._agree_preempted(step):
                     # finish the step in flight, write a resumable full-state
                     # checkpoint, and leave — the grace window on preemptible
                     # TPU VMs is short
@@ -788,19 +803,31 @@ class Trainer:
                 _signal.signal(preempt_signal, prev_handler)
         return history
 
-    def _agree_preempted(self) -> bool:
+    # multihost preemption agreement cadence: the allgather is a blocking
+    # collective + host sync, so it runs every K step boundaries rather
+    # than every step (preemption grace windows are tens of seconds; K
+    # steps of detection latency is fine, a per-step host sync in every
+    # pod run is not). All processes use the same deterministic cadence.
+    PREEMPT_SYNC_EVERY = 5
+
+    def _agree_preempted(self, step: int) -> bool:
         """Multihost-consistent preemption decision at a step boundary.
 
         Signal delivery is per-process and can straddle a step boundary
         across hosts (or reach only some hosts); entering the collective
         checkpoint at different steps would hang the pod inside the grace
-        window. Every boundary therefore all-reduces the local flag: all
-        processes agree to preempt at the FIRST boundary where any process
-        saw the signal. Single-process runs skip the collective."""
+        window. At every K-th boundary the local flag is all-reduced: all
+        processes agree to preempt at the FIRST sync boundary at/after any
+        process saw the signal. Single-process runs act on the local flag
+        at every boundary with no collective."""
         if not getattr(self, "_preempt_enabled", False):
             return getattr(self, "_preempted", False)
         if jax.process_count() == 1:
             return getattr(self, "_preempted", False)
+        if (step + 1) % self.PREEMPT_SYNC_EVERY != 0:
+            # defer even a locally-set flag to the next sync boundary so
+            # every process runs the same number of collectives
+            return False
         from jax.experimental import multihost_utils
 
         flags = multihost_utils.process_allgather(

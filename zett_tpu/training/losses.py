@@ -123,7 +123,7 @@ def chunked_clm_eval(hidden, head_w, logit_offset, labels, attention_mask,
 
     per_seq, _ = jax.lax.scan(body, jnp.zeros((B,), jnp.float32), (hs, ys, ms))
     loss = per_seq.sum() / m.sum()
-    bpb = (per_seq / byte_lengths.sum(-1)).mean()
+    bpb = _mean_bpb(per_seq, byte_lengths)
     return loss, bpb
 
 
@@ -164,6 +164,22 @@ def chunked_mlm_eval(hidden, head_w, logit_offset, labels, attention_mask,
     return loss, acc
 
 
+
+
+def _mean_bpb(per_seq_loss, byte_lengths):
+    """Mean per-sequence bits-per-byte over sequences that HAVE bytes.
+
+    Reference semantics (train.py:1237-1245) average loss/bytes per
+    sequence; every reference row is a real text. Padded eval rows
+    (ValidDataset fills partial batches with empty texts, byte_lengths 0)
+    must not turn the mean into 0/0 = NaN — they are excluded from both
+    numerator and denominator."""
+    per_seq_bytes = byte_lengths.sum(-1).astype(jnp.float32)
+    valid = per_seq_bytes > 0
+    per_seq_bpb = jnp.where(valid, per_seq_loss / jnp.maximum(per_seq_bytes, 1.0), 0.0)
+    return per_seq_bpb.sum() / jnp.maximum(valid.sum(), 1)
+
+
 def lm_loss(logits, labels, attention_mask, loss_mode: str, byte_lengths=None, with_bpb=False):
     if loss_mode == "clm":
         shift_logits = logits[..., :-1, :]
@@ -178,7 +194,7 @@ def lm_loss(logits, labels, attention_mask, loss_mode: str, byte_lengths=None, w
         if with_bpb:
             return (
                 loss.sum() / shift_mask.sum(),
-                (loss.sum(-1) / byte_lengths.sum(-1)).mean(),
+                _mean_bpb(loss.sum(-1), byte_lengths),
             )
         return loss.sum() / shift_mask.sum()
     if loss_mode == "mlm":

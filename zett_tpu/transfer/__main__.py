@@ -89,12 +89,12 @@ def main(argv=None):
 
     from ..models.backbones.registry import (
         IN_EMBEDDING_PATHS,
-        OUT_EMBEDDING_PATHS,
         get_subtree,
+        resolve_out_path,
     )
 
     emb_in = np.asarray(get_subtree(bb_params, IN_EMBEDDING_PATHS[model_type]))
-    out_path = OUT_EMBEDDING_PATHS[model_type]
+    out_path = resolve_out_path(model_type, bb_params)
     emb_out = (
         np.asarray(get_subtree(bb_params, out_path)).T if out_path is not None else None
     )

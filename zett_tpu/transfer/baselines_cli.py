@@ -69,6 +69,7 @@ def main(argv=None):
     from ..models.backbones.registry import (
         IN_EMBEDDING_PATHS,
         OUT_EMBEDDING_PATHS,
+        resolve_out_path,
         build_model,
         get_subtree,
     )
@@ -107,7 +108,7 @@ def main(argv=None):
     )
 
     emb_in = np.asarray(get_subtree(bb_params, IN_EMBEDDING_PATHS[model_type]))
-    out_path = OUT_EMBEDDING_PATHS[model_type]
+    out_path = resolve_out_path(model_type, bb_params)
     emb_out = np.asarray(get_subtree(bb_params, out_path)).T if out_path else None
 
     word_embeddings = (
