@@ -489,3 +489,32 @@ def test_preemption_checkpoint_and_resume(tmp_path):
                 h["loss"], ref_losses[h["step"]], rtol=1e-6,
                 err_msg=f"step {h['step']} diverged after preempt-resume",
             )
+
+
+def test_restore_params_portable_roundtrip(tmp_path):
+    """utils/checkpoint.restore_params_portable rebuilds the abstract
+    target from the checkpoint's own metadata (shape/dtype + local
+    default-device sharding), so checkpoints restore without replaying
+    the writer's device topology — the transfer/baselines CLIs use it for
+    the train-on-pod -> transfer-elsewhere workflow."""
+    import numpy as np
+
+    import jax.numpy as jnp
+    import orbax.checkpoint as ocp
+
+    from zett_tpu.utils.checkpoint import restore_params_portable
+
+    tree = {
+        "a": {"kernel": jnp.arange(12, dtype=jnp.float32).reshape(3, 4),
+              "bias": jnp.ones((4,), jnp.bfloat16)},
+        "b": jnp.asarray([3], jnp.int32),
+    }
+    path = str(tmp_path / "ckpt")
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path, tree, force=True)
+    ckptr.wait_until_finished()  # the save commits asynchronously
+    restored = restore_params_portable(path)
+    assert np.array_equal(np.asarray(restored["a"]["kernel"]),
+                          np.asarray(tree["a"]["kernel"]))
+    assert restored["a"]["bias"].dtype == jnp.bfloat16
+    assert int(np.asarray(restored["b"])[0]) == 3
